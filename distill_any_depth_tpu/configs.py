@@ -1,0 +1,174 @@
+"""Typed configuration system.
+
+One dataclass-based config tree replaces the reference's 40+ argparse flags
+plus shell-script presets (reference: tools/train_distillation.py:40-84,
+scripts/*.sh). Presets are plain constructors so they stay greppable and
+composable; the CLI layer (cli/) maps flags onto these dataclasses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """DINOv2-style ViT encoder hyper-parameters.
+
+    Mirrors the reference zoo (distillanydepth/depth_anything_v2/dinov2.py:
+    339-415 and modeling/backbones/vit/ViT_DINO.py:1336-1431) as data.
+    """
+
+    name: str
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int = 14
+    base_img_size: int = 518
+    mlp_ratio: float = 4.0
+    ffn: str = "mlp"  # "mlp" | "swiglu"
+    init_values: float | None = 1.0  # LayerScale init; None disables
+    num_register_tokens: int = 0
+    interpolate_offset: float = 0.1
+    out_indices: tuple[int, int, int, int] = (2, 5, 8, 11)
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+def _enc(name, dim, depth, heads, idx, **kw) -> EncoderConfig:
+    return EncoderConfig(
+        name=name, embed_dim=dim, depth=depth, num_heads=heads, out_indices=idx, **kw
+    )
+
+
+# Intermediate-layer taps follow the reference
+# (distillanydepth/depth_anything_v2/dpt.py:198-203).
+ENCODERS: dict[str, EncoderConfig] = {
+    "vits": _enc("vits", 384, 12, 6, (2, 5, 8, 11)),
+    "vitb": _enc("vitb", 768, 12, 12, (2, 5, 8, 11)),
+    "vitl": _enc("vitl", 1024, 24, 16, (4, 11, 17, 23)),
+    "vitg": _enc("vitg", 1536, 40, 24, (9, 19, 29, 39), ffn="swiglu"),
+    # DINOv2-with-registers teacher variants
+    # (modeling/backbones/vit/ViT_DINO_reg.py:1221-1294).
+    "vitl_reg": _enc(
+        "vitl_reg", 1024, 24, 16, (4, 11, 17, 23),
+        num_register_tokens=4, interpolate_offset=0.0, init_values=1e-5,
+    ),
+    "vitg_reg": _enc(
+        "vitg_reg", 1536, 40, 24, (9, 19, 29, 39),
+        num_register_tokens=4, interpolate_offset=0.0, init_values=1e-5,
+        ffn="swiglu",
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Full depth model = encoder + DPT head.
+
+    ``trailing_head_relu`` distinguishes the student head (ReLU inside the
+    output conv stack, depth_anything_v2/dpt.py:142-148) from the teacher head
+    (no trailing ReLU, relu applied after full-res interpolation,
+    modeling/archs/dam/dam.py:260-266, :412-417).
+    """
+
+    arch_name: str
+    encoder: EncoderConfig
+    features: int
+    out_channels: tuple[int, int, int, int]
+    head_out_channels: int = 1
+    use_clstoken: bool = False
+    trailing_head_relu: bool = True
+    interp_to_input: bool = False  # teacher resizes depth to input resolution
+
+
+# Matches the reference model_kwargs tables
+# (tools/testers/infer.py:66-84, tools/train_distillation.py:711-815) plus a
+# vits preset used by the DA-V2 zoo.
+MODELS: dict[str, ModelConfig] = {
+    "depthanything-small": ModelConfig(
+        "depthanything-small", ENCODERS["vits"], 64, (48, 96, 192, 384)
+    ),
+    "depthanything-base": ModelConfig(
+        "depthanything-base", ENCODERS["vitb"], 128, (96, 192, 384, 768)
+    ),
+    "depthanything-large": ModelConfig(
+        "depthanything-large",
+        dataclasses.replace(ENCODERS["vitl"], init_values=1e-5),
+        256,
+        (256, 512, 1024, 1024),
+        trailing_head_relu=False,
+        interp_to_input=True,
+    ),
+    "depthanything-giant": ModelConfig(
+        "depthanything-giant", ENCODERS["vitg"], 384, (1536, 1536, 1536, 1536)
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Distillation loss stack weights and options.
+
+    Defaults match the reference (README.md:76-100, scripts/train_test.sh).
+    """
+
+    normalization: str = "hybrid"  # global | hybrid | local | none
+    num_segments: int = 4
+    lambda_sc: float = 0.5
+    lambda_lg: float = 0.5
+    lambda_feat: float = 1.0
+    lambda_grad: float = 0.2
+    use_hdn: bool = True
+    hdn_variant: str = "dr"  # dr | dp | ds
+    hdn_level: int = 3
+    lambda_hdn: float = 0.8
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Adam + linear warmup + cosine/step decay
+    (reference: tools/train_distillation.py:1310-1350)."""
+
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    warmup_steps: int = 0
+    schedule: str = "cosine"  # cosine | step | none
+    total_steps: int = 10_000
+    step_size: int = 10_000
+    gamma: float = 0.1
+    eta_min_ratio: float = 0.01
+    max_grad_norm: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    student: ModelConfig = MODELS["depthanything-base"]
+    teachers: tuple[str, ...] = ("depthanything-large",)
+    teacher_checkpoints: tuple[str, ...] = ()
+    loss: LossConfig = LossConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    batch_size: int = 16
+    image_size: int = 392
+    num_epochs: int = 50
+    num_iterations: int = 0
+    seed: int = 42
+    val_split: float = 0.1
+    checkpoint_interval: int = 1000
+    log_interval: int = 100
+    early_stopping: int = 0
+    output_dir: str = "output"
+    dataset_dir: str = "data/nyu"
+    use_nyu_dataset: bool = True
+    # parallelism
+    dp: int = 1  # data-parallel mesh size over ICI
+    teacher_dtype: str = "bfloat16"
+    student_compute_dtype: str = "float32"
+
+
+def model_config(arch_name: str) -> ModelConfig:
+    if arch_name not in MODELS:
+        raise KeyError(f"unknown arch {arch_name!r}; have {sorted(MODELS)}")
+    return MODELS[arch_name]

@@ -1,0 +1,232 @@
+"""DPT reassemble/fusion decoder and the full depth models.
+
+Re-designed for TPU from the behavior of the reference decoder
+(distillanydepth/depth_anything_v2/dpt.py:71-225,
+depth_anything_v2/util/blocks.py, modeling/archs/dam/dam.py:183-419):
+
+- NHWC everywhere; 1x1 convs are ``nn.Dense`` (pure GEMM), 3x3 convs use
+  explicit torch-style padding so stride-2 halving matches OIHW semantics.
+- The k4/s4 and k2/s2 transposed convs become one matmul + depth-to-space
+  (``PatchExpand``) — identical math when kernel == stride, but a single
+  large MXU GEMM instead of XLA's conv-transpose lowering.
+- All bilinear upsampling uses trace-time matrix resizes with
+  ``align_corners=True`` (ops/resize), bit-matching torch.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from distill_any_depth_tpu.configs import ModelConfig
+from distill_any_depth_tpu.models.vit import DinoViT
+from distill_any_depth_tpu.ops.resize import resize_2d
+
+Dtype = Any
+
+
+def _conv3x3(features: int, stride: int = 1, use_bias: bool = True, name: str | None = None,
+             dtype: Dtype = jnp.float32) -> nn.Conv:
+    return nn.Conv(
+        features,
+        (3, 3),
+        strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        use_bias=use_bias,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class PatchExpand(nn.Module):
+    """ConvTranspose2d(k=s) as matmul + depth-to-space.
+
+    For kernel == stride the transposed conv places non-overlapping k x k
+    blocks, i.e. ``y[ki+a, kj+b, o] = sum_c x[i,j,c] * W[c,o,a,b] + bias[o]``
+    — exactly a Dense to ``k*k*O`` followed by pixel shuffle. Replaces
+    dpt.py:94-106's ConvTranspose2d layers.
+    """
+
+    factor: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        f, o = self.factor, self.out_channels
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (c, f * f * o),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (o,), jnp.float32)
+        y = jnp.dot(x, kernel.astype(self.dtype), preferred_element_type=self.dtype)
+        y = y.reshape(b, h, w, f, f, o)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * f, w * f, o)
+        return y + bias.astype(self.dtype)
+
+
+class ResidualConvUnit(nn.Module):
+    """relu -> conv3x3 -> relu -> conv3x3 -> +x (util/blocks.py:29-80)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.relu(x)
+        y = _conv3x3(self.features, dtype=self.dtype, name="conv1")(y)
+        y = nn.relu(y)
+        y = _conv3x3(self.features, dtype=self.dtype, name="conv2")(y)
+        return x + y
+
+
+class FeatureFusionBlock(nn.Module):
+    """Refinenet fusion (util/blocks.py:83-148): optional skip through rcu1,
+    rcu2, bilinear upsample (align_corners=True), 1x1 out conv."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        skip: jnp.ndarray | None = None,
+        size: tuple[int, int] | None = None,
+    ) -> jnp.ndarray:
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, self.dtype, name="rcu1")(skip)
+        x = ResidualConvUnit(self.features, self.dtype, name="rcu2")(x)
+        if size is None:
+            size = (x.shape[1] * 2, x.shape[2] * 2)
+        x = resize_2d(x, size, "bilinear", align_corners=True)
+        x = nn.Dense(self.features, dtype=self.dtype, name="out_conv")(x)
+        return x
+
+
+class DPTHead(nn.Module):
+    """DPT decoder head (dpt.py:71-184 / dam.py:183-304 unified).
+
+    Input: 4 token taps ``[B, N, C_embed]`` (+ optional cls tokens) and the
+    patch grid ``(gh, gw)``. Output: ``[B, 14*gh, 14*gw, head_out_channels]``.
+    """
+
+    features: int
+    out_channels: Sequence[int]
+    head_out_channels: int = 1
+    use_clstoken: bool = False
+    trailing_relu: bool = True  # student head ends in ReLU; teacher does not
+    patch_size: int = 14
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        taps: Sequence[jnp.ndarray],
+        gh: int,
+        gw: int,
+        cls_tokens: Sequence[jnp.ndarray] | None = None,
+    ) -> jnp.ndarray:
+        assert len(taps) == 4
+        outs = []
+        for i, t in enumerate(taps):
+            b, n, c = t.shape
+            if self.use_clstoken:
+                cls = cls_tokens[i][:, None, :]
+                t = jnp.concatenate([t, jnp.broadcast_to(cls, t.shape)], axis=-1)
+                t = nn.Dense(c, dtype=self.dtype, name=f"readout_{i}")(t)
+                t = nn.gelu(t, approximate=False)
+            x = t.reshape(b, gh, gw, c)
+            # 1x1 projection conv == Dense over the channel axis.
+            x = nn.Dense(self.out_channels[i], dtype=self.dtype, name=f"projects_{i}")(x)
+            if i == 0:
+                x = PatchExpand(4, self.out_channels[0], self.dtype, name="resize_0")(x)
+            elif i == 1:
+                x = PatchExpand(2, self.out_channels[1], self.dtype, name="resize_1")(x)
+            elif i == 3:
+                x = _conv3x3(self.out_channels[3], stride=2, dtype=self.dtype, name="resize_3")(x)
+            outs.append(x)
+
+        rn = [
+            _conv3x3(self.features, use_bias=False, dtype=self.dtype, name=f"scratch_{i + 1}_rn")(outs[i])
+            for i in range(4)
+        ]
+
+        path = FeatureFusionBlock(self.features, self.dtype, name="refinenet4")(
+            rn[3], size=rn[2].shape[1:3]
+        )
+        path = FeatureFusionBlock(self.features, self.dtype, name="refinenet3")(
+            path, rn[2], size=rn[1].shape[1:3]
+        )
+        path = FeatureFusionBlock(self.features, self.dtype, name="refinenet2")(
+            path, rn[1], size=rn[0].shape[1:3]
+        )
+        path = FeatureFusionBlock(self.features, self.dtype, name="refinenet1")(path, rn[0])
+
+        x = _conv3x3(self.features // 2, dtype=self.dtype, name="output_conv1")(path)
+        x = resize_2d(
+            x, (gh * self.patch_size, gw * self.patch_size), "bilinear", align_corners=True
+        )
+        x = _conv3x3(32, dtype=self.dtype, name="output_conv2_0")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.head_out_channels, dtype=self.dtype, name="output_conv2_2")(x)
+        if self.trailing_relu:
+            x = nn.relu(x)
+        return x
+
+
+class DepthModel(nn.Module):
+    """Full monocular depth model: DINOv2 encoder + DPT head.
+
+    Covers both the student (DepthAnythingV2, dpt.py:187-225) and the teacher
+    (DepthAnything/DAM, dam.py:307-419) through ``ModelConfig`` flags.
+    Returns ``(depth, features)``:
+
+    - ``depth``: ``[B, H, W]`` (head_out_channels==1 squeezed) or
+      ``[B, H, W, C_out]``, ReLU'd like the reference
+      (dpt.py:222 / dam.py:412-417).
+    - ``features``: final tap tokens ``[B, N, C_embed]`` (= features[3][0]).
+    """
+
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        h, w = x.shape[1], x.shape[2]
+        p = self.cfg.encoder.patch_size
+        gh, gw = h // p, w // p
+
+        taps, cls_tokens = DinoViT(
+            self.cfg.encoder,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+            name="pretrained",
+        )(x)
+
+        depth = DPTHead(
+            features=self.cfg.features,
+            out_channels=tuple(self.cfg.out_channels),
+            head_out_channels=self.cfg.head_out_channels,
+            use_clstoken=self.cfg.use_clstoken,
+            trailing_relu=self.cfg.trailing_head_relu,
+            patch_size=p,
+            dtype=self.dtype,
+            name="depth_head",
+        )(taps, gh, gw, cls_tokens)
+
+        if self.cfg.interp_to_input and depth.shape[1:3] != (h, w):
+            depth = resize_2d(depth, (h, w), "bilinear", align_corners=True)
+        # Final ReLU: idempotent for the student head (already ReLU'd), the
+        # actual activation for the teacher head (dam.py:414-417).
+        depth = nn.relu(depth)
+        if depth.shape[-1] == 1:
+            depth = depth[..., 0]
+        return depth, taps[3]

@@ -1,0 +1,36 @@
+"""Model factory: named presets -> initialized DepthModel.
+
+Replaces the reference's scattered model_kwargs tables
+(tools/testers/infer.py:66-84, tools/train_distillation.py:711-815).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from distill_any_depth_tpu.configs import ModelConfig, model_config
+from distill_any_depth_tpu.models.dpt import DepthModel
+
+__all__ = ["create_model", "init_params"]
+
+
+def create_model(
+    arch_name: str | ModelConfig,
+    dtype: Any = jnp.float32,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> DepthModel:
+    cfg = arch_name if isinstance(arch_name, ModelConfig) else model_config(arch_name)
+    return DepthModel(cfg=cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
+
+
+def init_params(
+    model: DepthModel, rng: jax.Array | int = 0, image_size: int = 392
+) -> dict:
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    dummy = jnp.zeros((1, image_size, image_size, 3), model.dtype)
+    variables = model.init(rng, dummy)
+    return variables["params"]

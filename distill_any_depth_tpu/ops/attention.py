@@ -1,0 +1,73 @@
+"""Multi-head attention ops for the ViT encoders.
+
+Two interchangeable implementations behind one entry point:
+
+- ``mha_reference``: plain einsum softmax attention. XLA fuses this well for
+  moderate sequence lengths (a 392 image is only 785 tokens) and it is the
+  numerics baseline for parity tests against the PyTorch reference
+  (distillanydepth/depth_anything_v2/dinov2_layers/attention.py:29-81).
+- ``mha_flash``: blockwise Pallas flash-attention kernel (kernels live in
+  ``distill_any_depth_tpu.ops.flash_attention``) for long sequences / bf16,
+  the TPU-native replacement for xformers ``memory_efficient_attention``.
+
+Selection is by ``impl`` argument; ``"auto"`` picks flash on TPU when the
+sequence is long enough to pay for it, else the einsum path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["multi_head_attention"]
+
+# Below this token count the einsum path beats the kernel-launch overhead.
+_FLASH_MIN_SEQ = 1024
+
+
+def mha_reference(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Softmax attention over ``[B, N, H, D]`` tensors, returns same layout.
+
+    Matches the reference math: q is pre-scaled by ``D**-0.5``, softmax in
+    fp32 regardless of input dtype (attention.py:49-61 computes in the input
+    dtype; we upcast the softmax for TPU bf16 safety — fp32 inputs match
+    exactly, bf16 inputs are strictly more accurate).
+    """
+    dtype = q.dtype
+    d = q.shape[-1]
+    scale = d ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+    return out
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch attention over ``[B, N, H, D]`` q/k/v."""
+    if impl == "reference":
+        return mha_reference(q, k, v, bias)
+    if impl == "flash" or (impl == "auto" and _use_flash(q)):
+        from distill_any_depth_tpu.ops import flash_attention
+
+        return flash_attention.mha_flash(q, k, v, bias)
+    return mha_reference(q, k, v, bias)
+
+
+def _use_flash(q: jnp.ndarray) -> bool:
+    if q.shape[1] < _FLASH_MIN_SEQ:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

@@ -1,0 +1,49 @@
+"""Reference-free model tests: shapes, jit, dtype policies."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distill_any_depth_tpu.configs import MODELS, model_config
+from distill_any_depth_tpu.models.factory import create_model, init_params
+
+
+def test_student_shapes_and_jit():
+    cfg = MODELS["depthanything-small"]
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=98)
+
+    x = jnp.zeros((2, 98, 126, 3), jnp.float32)
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    depth, feat = fwd(params, x)
+    assert depth.shape == (2, 98, 126)
+    assert feat.shape == (2, (98 // 14) * (126 // 14), cfg.encoder.embed_dim)
+    assert bool(jnp.all(depth >= 0))  # trailing ReLU
+
+
+def test_non_multiple_of_patch_raises():
+    cfg = MODELS["depthanything-small"]
+    model = create_model(cfg)
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 100, 100, 3)))
+
+
+def test_bf16_compute_close_to_fp32():
+    cfg = MODELS["depthanything-small"]
+    model32 = create_model(cfg)
+    params = init_params(model32, 0, image_size=98)
+    model16 = create_model(cfg, dtype=jnp.bfloat16)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 98, 98, 3), jnp.float32)
+    d32, _ = model32.apply({"params": params}, x)
+    d16, _ = model16.apply({"params": params}, x.astype(jnp.bfloat16))
+    # bf16 teacher path should track fp32 to a few percent relative scale
+    scale = float(jnp.abs(d32).mean()) + 1e-6
+    err = float(jnp.abs(d32 - d16.astype(jnp.float32)).mean()) / scale
+    assert err < 0.1, err
+
+
+def test_unknown_arch_raises():
+    with pytest.raises(KeyError):
+        model_config("depthanything-mega")
