@@ -1,0 +1,93 @@
+"""Distillation loss combination — the full 5-component stack.
+
+One fused, jit-compiled function replacing the reference training loop's
+per-batch loss assembly (tools/train_distillation.py:1516-1564). All
+components are batched jnp; no data-dependent Python control flow.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from distill_any_depth_tpu.configs import LossConfig
+from distill_any_depth_tpu.losses.feature import feature_distillation_loss
+from distill_any_depth_tpu.losses.gradient import gradient_preservation_loss
+from distill_any_depth_tpu.losses.hdn import (
+    get_contexts_dp,
+    get_contexts_dr,
+    get_contexts_ds,
+    hdn_loss,
+)
+from distill_any_depth_tpu.losses.normalization import normalize_depth
+
+__all__ = ["distillation_loss", "combined_distillation_loss"]
+
+
+def distillation_loss(
+    student_depth: jnp.ndarray,
+    teacher_depth: jnp.ndarray,
+    norm_strategy: str,
+    num_segments: int = 4,
+) -> jnp.ndarray:
+    """L1 of normalized depth maps (train_distillation.py:271-282)."""
+    if norm_strategy != "none":
+        s = normalize_depth(student_depth, norm_strategy, num_segments)
+        t = normalize_depth(teacher_depth, norm_strategy, num_segments)
+        return jnp.mean(jnp.abs(s - t))
+    return jnp.mean(jnp.abs(student_depth - teacher_depth))
+
+
+_CONTEXT_FNS: dict[str, Callable] = {
+    "dr": lambda level, gt, mask: get_contexts_dr(level, gt, mask),
+    "dp": lambda level, gt, mask: get_contexts_dp(
+        level, gt, jnp.ones_like(gt, bool) if mask is None else mask
+    ),
+    "ds": lambda level, gt, mask: get_contexts_ds(
+        level, jnp.ones_like(gt, bool) if mask is None else mask
+    ),
+}
+
+
+def combined_distillation_loss(
+    cfg: LossConfig,
+    student_global_depth: jnp.ndarray,
+    student_local_depth: jnp.ndarray,
+    student_local_feat: jnp.ndarray,
+    teacher_local_depth: jnp.ndarray,
+    teacher_local_feat: jnp.ndarray,
+    valid_mask: jnp.ndarray | None = None,
+):
+    """Full loss stack; returns (total, components dict).
+
+    Mirrors the reference batch step (train loop :1516-1564): SC loss between
+    student-local and teacher-local, LG loss between student-global and
+    student-local, feature cosine on local features, gradient preservation on
+    the student-local depth, HDN between student-local and teacher-local with
+    contexts built from the teacher depth (mask None, :1547).
+    """
+    sc = distillation_loss(
+        student_local_depth, teacher_local_depth, cfg.normalization, cfg.num_segments
+    )
+    lg = distillation_loss(
+        student_global_depth, student_local_depth, cfg.normalization, cfg.num_segments
+    )
+    feat = feature_distillation_loss(student_local_feat, teacher_local_feat)
+    grad = gradient_preservation_loss(student_local_depth)
+
+    components = {"sc": sc, "lg": lg, "feat": feat, "grad": grad}
+    total = (
+        cfg.lambda_sc * sc
+        + cfg.lambda_lg * lg
+        + cfg.lambda_feat * feat
+        + cfg.lambda_grad * grad
+    )
+    if cfg.use_hdn:
+        contexts = _CONTEXT_FNS[cfg.hdn_variant](
+            cfg.hdn_level, teacher_local_depth, valid_mask
+        )
+        hdn = hdn_loss(student_local_depth, teacher_local_depth, contexts)
+        components["hdn"] = hdn
+        total = total + cfg.lambda_hdn * hdn
+    components["total"] = total
+    return total, components

@@ -64,8 +64,39 @@ def _install_stubs() -> None:
                 sample = t(sample)
             return sample
 
+    class _InterpolationMode:
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+        BICUBIC = "bicubic"
+
     _stub("torchvision")
-    _stub("torchvision.transforms", Compose=_Compose, Resize=None, ToTensor=None)
+    _stub(
+        "torchvision.transforms",
+        Compose=_Compose,
+        Resize=None,
+        ToTensor=None,
+        InterpolationMode=_InterpolationMode,
+    )
+    _stub("torchvision.transforms.functional", resize=None)
+
+    _format_code = lambda code, **kw: (code, True)  # noqa: E731
+    _stub("yapf", FormatCode=_format_code)
+    _stub("yapf.yapflib")
+    _stub("yapf.yapflib.yapf_api", FormatCode=_format_code)
+    try:
+        import addict  # noqa: F401
+    except ImportError:
+        class _AddictDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        _stub("addict", Dict=_AddictDict)
 
     class _Comm:
         @staticmethod
