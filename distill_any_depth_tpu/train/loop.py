@@ -1,0 +1,221 @@
+"""Distillation training loop.
+
+Host-side orchestration around the jitted step (train/step.py): epochs,
+train/val split, per-interval logging, checkpointing (orbax resume state +
+safetensors interop exports), best-model tracking, early stopping, and an
+emergency checkpoint on any exception — feature-parity with the reference
+loop (tools/train_distillation.py:1148-1696) minus its per-image degenerate
+path, plus exact resume.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distill_any_depth_tpu.configs import TrainConfig
+from distill_any_depth_tpu.data.nyu import NYUDataset, iterate_batches
+from distill_any_depth_tpu.models.factory import create_model, init_params
+from distill_any_depth_tpu.train.state import TrainState, create_train_state
+from distill_any_depth_tpu.train.step import make_eval_loss_fn, make_train_step
+from distill_any_depth_tpu.utils import checkpoint as ckpt_io
+from distill_any_depth_tpu.configs import model_config
+
+logger = logging.getLogger("distill_any_depth_tpu.train")
+
+__all__ = ["Trainer", "train_nyu"]
+
+
+class Trainer:
+    """Builds models + jitted step from a TrainConfig and runs epochs."""
+
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        student_dtype = jnp.dtype(cfg.student_compute_dtype)
+        teacher_dtype = jnp.dtype(cfg.teacher_dtype)
+
+        self.student = create_model(cfg.student, dtype=student_dtype)
+        self.student_params = init_params(self.student, cfg.seed, cfg.image_size)
+
+        self.teachers = []
+        self.teacher_params = []
+        for i, name in enumerate(cfg.teachers):
+            tcfg = model_config(name)
+            model = create_model(tcfg, dtype=teacher_dtype)
+            if i < len(cfg.teacher_checkpoints) and cfg.teacher_checkpoints[i]:
+                params = ckpt_io.load_safetensors(cfg.teacher_checkpoints[i], tcfg)
+                params = jax.tree_util.tree_map(jnp.asarray, params)
+            else:
+                logger.warning("teacher %s: no checkpoint given, random init", name)
+                params = init_params(model, 100 + i, cfg.image_size)
+            self.teachers.append(model)
+            self.teacher_params.append(params)
+
+        opt = cfg.optimizer
+        self.state, self.tx = create_train_state(self.student_params, opt)
+
+        student_apply = lambda p, x: self.student.apply({"params": p}, x)  # noqa: E731
+        teacher_applies = [
+            (lambda p, x, m=m, d=teacher_dtype: m.apply({"params": p}, x.astype(d)))
+            for m in self.teachers
+        ]
+        self.train_step = make_train_step(
+            student_apply, teacher_applies, self.tx, cfg.loss, seed=cfg.seed
+        )
+        self.eval_loss = make_eval_loss_fn(
+            student_apply, teacher_applies, cfg.loss, seed=cfg.seed + 1
+        )
+
+    # ------------------------------------------------------------------ run
+
+    def run(
+        self,
+        train_batches: Callable[[int], Iterable[dict]],
+        val_batches: Callable[[], Iterable[dict]] | None = None,
+        max_steps: int | None = None,
+    ) -> dict:
+        """Train. ``train_batches(epoch)`` yields dicts with 'image' (and
+        optionally 'global_image'/'local_image'). Returns a history dict."""
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        tp = tuple(self.teacher_params)
+        history = {"train_loss": [], "val_loss": [], "lr": []}
+        best_val = float("inf")
+        epochs_without_improvement = 0
+        start = time.time()
+        step = int(self.state.step)
+        max_steps = max_steps or (cfg.num_iterations or None)
+
+        try:
+            for epoch in range(cfg.num_epochs):
+                epoch_loss, nbatches = 0.0, 0
+                for batch in train_batches(epoch):
+                    if max_steps and step >= max_steps:
+                        break
+                    g, l = _views(batch)
+                    self.state, metrics = self.train_step(self.state, tp, g, l)
+                    step += 1
+                    loss = float(metrics["total"])
+                    epoch_loss += loss
+                    nbatches += 1
+
+                    if step % cfg.log_interval == 0 or step == 1:
+                        comp = {
+                            k: round(float(v), 4)
+                            for k, v in metrics.items()
+                            if k != "teacher_idx"
+                        }
+                        logger.info(
+                            "step %d | epoch %d | %s | %.1fs",
+                            step, epoch + 1, comp, time.time() - start,
+                        )
+                    if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
+                        self._save_step_checkpoint(step)
+                if max_steps and step >= max_steps:
+                    if nbatches:
+                        history["train_loss"].append(epoch_loss / nbatches)
+                    break
+
+                history["train_loss"].append(epoch_loss / max(nbatches, 1))
+
+                if val_batches is not None:
+                    val = self.validate(val_batches())
+                    history["val_loss"].append(val["total"])
+                    logger.info("epoch %d validation: %s", epoch + 1, val)
+                    if val["total"] < best_val:
+                        best_val = val["total"]
+                        epochs_without_improvement = 0
+                        ckpt_io.save_safetensors(
+                            os.path.join(cfg.output_dir, "student_best.safetensors"),
+                            self.state.params, cfg.student,
+                        )
+                    else:
+                        epochs_without_improvement += 1
+                        if cfg.early_stopping and epochs_without_improvement >= cfg.early_stopping:
+                            logger.info("early stopping at epoch %d", epoch + 1)
+                            break
+        except Exception:
+            ckpt_io.save_safetensors(
+                os.path.join(cfg.output_dir, "student_emergency.safetensors"),
+                self.state.params, cfg.student,
+            )
+            logger.exception("training failed; emergency checkpoint written")
+            raise
+
+        ckpt_io.save_safetensors(
+            os.path.join(cfg.output_dir, "student_final.safetensors"),
+            self.state.params, cfg.student,
+        )
+        ckpt_io.save_train_state(
+            os.path.join(cfg.output_dir, "train_state"), self.state
+        )
+        with open(os.path.join(cfg.output_dir, "history.json"), "w") as f:
+            json.dump(history, f)
+        return history
+
+    def validate(self, batches: Iterable[dict]) -> dict:
+        sums: dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(batches):
+            g, l = _views(batch)
+            comps = self.eval_loss(
+                self.state.params, tuple(self.teacher_params), jnp.int32(i), g, l
+            )
+            for k, v in comps.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def _save_step_checkpoint(self, step: int) -> None:
+        path = os.path.join(
+            self.cfg.output_dir, f"student_checkpoint_{step}.safetensors"
+        )
+        ckpt_io.save_safetensors(path, self.state.params, self.cfg.student)
+        logger.info("saved checkpoint %s", path)
+
+    def resume(self, path: str) -> None:
+        self.state = ckpt_io.restore_train_state(path, template=self.state)
+        if not isinstance(self.state, TrainState):
+            self.state = TrainState(*self.state)
+
+
+def _views(batch: dict):
+    """Global/local views: NYU batches use the same image for both
+    (reference :1493-1494); image-folder batches carry both."""
+    if "global_image" in batch:
+        return jnp.asarray(batch["global_image"]), jnp.asarray(batch["local_image"])
+    img = jnp.asarray(batch["image"])
+    return img, img
+
+
+def train_nyu(cfg: TrainConfig, root_dir: str | None = None) -> dict:
+    """End-to-end NYU distillation run (reference train(), :1148)."""
+    ds = NYUDataset(
+        "train", dataset_dir=cfg.dataset_dir, image_size=cfg.image_size,
+        root_dir=root_dir,
+    )
+    n_val = int(len(ds) * cfg.val_split)
+    indices = list(range(len(ds)))
+    rng = np.random.RandomState(cfg.seed)
+    rng.shuffle(indices)
+    val_idx, train_idx = indices[:n_val], indices[n_val:]
+
+    trainer = Trainer(cfg)
+    return trainer.run(
+        train_batches=lambda epoch: iterate_batches(
+            ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, indices=train_idx
+        ),
+        val_batches=(
+            (lambda: iterate_batches(ds, cfg.batch_size, shuffle=False, indices=val_idx))
+            if val_idx
+            else None
+        ),
+        max_steps=cfg.num_iterations or None,
+    )

@@ -1,0 +1,151 @@
+"""The jitted distillation train step.
+
+One compiled step covering the reference's batch loop body
+(tools/train_distillation.py:1486-1575), redesigned TPU-first:
+
+- teacher forward under ``stop_gradient`` in a configurable dtype (bf16 by
+  default — teachers are inference-only);
+- multi-teacher selection with ``jax.random.fold_in(seed, step)`` +
+  ``lax.switch`` so one compiled step serves any teacher choice (the
+  reference re-ran Python ``random.randint`` per batch, :1505);
+- the whole loss stack fused into the same XLA program as both forwards and
+  the optimizer update;
+- no per-image degenerate path: batches are static-shape by construction.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from distill_any_depth_tpu.configs import LossConfig
+from distill_any_depth_tpu.losses.distill import combined_distillation_loss
+from distill_any_depth_tpu.train.state import TrainState
+
+__all__ = ["make_train_step", "make_eval_loss_fn"]
+
+
+def _loss_fn(
+    student_apply: Callable,
+    teacher_applies: Sequence[Callable],
+    loss_cfg: LossConfig,
+    params: Any,
+    teacher_params: Sequence[Any],
+    teacher_idx: jnp.ndarray,
+    global_image: jnp.ndarray,
+    local_image: jnp.ndarray,
+):
+    s_global_depth, _ = student_apply(params, global_image)
+    s_local_depth, s_local_feat = student_apply(params, local_image)
+
+    def teacher_branch(i):
+        def run(_):
+            d, f = teacher_applies[i](teacher_params[i], local_image)
+            return d.astype(jnp.float32), f.astype(jnp.float32)
+
+        return run
+
+    if len(teacher_applies) == 1:
+        t_depth, t_feat = teacher_branch(0)(None)
+    else:
+        t_depth, t_feat = jax.lax.switch(
+            teacher_idx, [teacher_branch(i) for i in range(len(teacher_applies))], None
+        )
+    t_depth = jax.lax.stop_gradient(t_depth)
+    t_feat = jax.lax.stop_gradient(t_feat)
+
+    total, components = combined_distillation_loss(
+        loss_cfg, s_global_depth, s_local_depth, s_local_feat, t_depth, t_feat
+    )
+    return total, components
+
+
+def make_train_step(
+    student_apply: Callable,
+    teacher_applies: Sequence[Callable],
+    tx: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    seed: int = 0,
+    mesh=None,
+):
+    """Jitted train step.
+
+    Signature: ``step(state, teacher_params, global_image, local_image)
+    -> (new_state, metrics)`` where ``teacher_params`` is a tuple of pytrees
+    (one per teacher; passed as an argument, never closed over — large
+    constants embedded in HLO break remote compilation and re-upload weights).
+
+    With ``mesh`` (parallel.mesh.make_mesh), the step is compiled
+    data-parallel: state/teacher params replicated, batch sharded over the
+    ``data`` axis, gradient reduction inserted by GSPMD.
+    """
+
+    def step(state: TrainState, teacher_params, global_image, local_image):
+        teacher_idx = jax.random.randint(
+            jax.random.fold_in(jax.random.PRNGKey(seed), state.step),
+            (),
+            0,
+            max(len(teacher_applies), 1),
+        )
+        (total, components), grads = jax.value_and_grad(
+            functools.partial(
+                _loss_fn,
+                student_apply,
+                teacher_applies,
+                loss_cfg,
+            ),
+            has_aux=True,
+        )(state.params, teacher_params, teacher_idx, global_image, local_image)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(components)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["teacher_idx"] = teacher_idx
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from distill_any_depth_tpu.parallel.mesh import batch_sharding, replicated
+
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, data, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_loss_fn(
+    student_apply: Callable,
+    teacher_applies: Sequence[Callable],
+    loss_cfg: LossConfig,
+    seed: int = 1234,
+):
+    """Validation loss (reference validate(), :818-1071): same stack, random
+    teacher per call keyed by a step argument, no gradients."""
+
+    def eval_loss(params, teacher_params, step, global_image, local_image):
+        teacher_idx = jax.random.randint(
+            jax.random.fold_in(jax.random.PRNGKey(seed), step),
+            (),
+            0,
+            max(len(teacher_applies), 1),
+        )
+        total, components = _loss_fn(
+            student_apply,
+            teacher_applies,
+            loss_cfg,
+            params,
+            teacher_params,
+            teacher_idx,
+            global_image,
+            local_image,
+        )
+        return components
+
+    return jax.jit(eval_loss)

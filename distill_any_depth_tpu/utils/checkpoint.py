@@ -1,0 +1,89 @@
+"""Checkpoint I/O: orbax full train state + safetensors interop.
+
+The reference only ever saves bare model weights (safetensors, no optimizer
+state — training cannot resume, tools/train_distillation.py:1611-1615). Here:
+
+- ``save_train_state`` / ``restore_train_state``: orbax checkpoint of the
+  complete ``TrainState`` (params + Adam moments + step) for exact resume;
+- ``save_safetensors`` / ``load_safetensors``: reference-layout weight files
+  (tools/convert_checkpoint.py interop), so checkpoints flow both ways
+  between this framework and the PyTorch implementation.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from distill_any_depth_tpu.configs import ModelConfig
+from distill_any_depth_tpu.utils.torch_interop import (
+    params_to_torch,
+    torch_to_params,
+)
+
+__all__ = [
+    "save_train_state",
+    "restore_train_state",
+    "save_safetensors",
+    "load_safetensors",
+    "convert_checkpoint",
+]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(path: str, state: Any) -> None:
+    path = os.path.abspath(path)
+    _checkpointer().save(path, jax.device_get(state), force=True)
+
+
+def restore_train_state(path: str, template: Any | None = None) -> Any:
+    path = os.path.abspath(path)
+    if template is not None:
+        import orbax.checkpoint as ocp
+
+        return _checkpointer().restore(
+            path, args=ocp.args.PyTreeRestore(item=template)
+        )
+    return _checkpointer().restore(path)
+
+
+def save_safetensors(path: str, params: Any, cfg: ModelConfig) -> None:
+    """Export params as a reference-layout safetensors file."""
+    from safetensors import numpy as st_numpy
+
+    state = {
+        k: np.ascontiguousarray(np.asarray(v, dtype=np.float32))
+        for k, v in params_to_torch(jax.device_get(params), cfg).items()
+    }
+    st_numpy.save_file(state, path)
+
+
+def load_safetensors(path: str, cfg: ModelConfig, strict: bool = True) -> dict:
+    from safetensors import numpy as st_numpy
+
+    return torch_to_params(st_numpy.load_file(path), cfg, strict=strict)
+
+
+def convert_checkpoint(in_path: str, out_path: str) -> int:
+    """pretrained.* -> backbone.* key remap (tools/convert_checkpoint.py:7-28):
+    turns a DepthAnything-V2 checkpoint into the teacher-arch namespace.
+    Returns the number of remapped keys."""
+    from safetensors import numpy as st_numpy
+
+    state = st_numpy.load_file(in_path)
+    out, n = {}, 0
+    for k, v in state.items():
+        if k.startswith("pretrained."):
+            out["backbone." + k[len("pretrained."):]] = v
+            n += 1
+        else:
+            out[k] = v
+    st_numpy.save_file(out, out_path)
+    return n

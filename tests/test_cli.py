@@ -1,0 +1,62 @@
+"""CLI smoke tests (tiny shapes, CPU): infer on a real image file, convert,
+evaluate with synthetic NYU data."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from distill_any_depth_tpu.cli import convert as cli_convert
+from distill_any_depth_tpu.cli import evaluate as cli_evaluate
+from distill_any_depth_tpu.cli import infer as cli_infer
+
+
+def test_infer_cli(tmp_path):
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    cv2.imwrite(str(img_dir / "a.png"), rng.randint(0, 255, (80, 120, 3), np.uint8))
+
+    args = cli_infer.argument_parser().parse_args(
+        [
+            "--arch_name", "depthanything-small",
+            "--input", str(img_dir),
+            "--output_dir", str(tmp_path / "out"),
+            "--processing_res", "98",
+            "--dtype", "float32",
+        ]
+    )
+    written = cli_infer.main(args)
+    assert len(written) == 1
+    out = cv2.imread(written[0])
+    assert out is not None and out.shape == (80, 120, 3)
+
+
+def test_evaluate_cli(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(2):
+        cv2.imwrite(str(d / f"rgb{i}.png"), rng.randint(0, 255, (48, 64, 3), np.uint8))
+        cv2.imwrite(str(d / f"dep{i}.png"),
+                    rng.randint(1, 65535, (48, 64)).astype(np.uint16))
+        rows.append(f"data/rgb{i}.png,data/dep{i}.png")
+    (d / "nyu2_test.csv").write_text("\n".join(rows))
+
+    os.chdir(tmp_path)  # dataset paths in the csv are relative
+    args = cli_evaluate.argument_parser().parse_args(
+        [
+            "--arch_name", "depthanything-small",
+            "--data_dir", str(d),
+            "--image_size", "56",
+            "--batch_size", "2",
+            "--output", str(tmp_path / "report.txt"),
+        ]
+    )
+    results = cli_evaluate.main(args)
+    assert "distilled" in results
+    assert np.isfinite(results["distilled"]["abs_rel"])
+    assert (tmp_path / "report.txt").exists()
+    assert (tmp_path / "report.json").exists()

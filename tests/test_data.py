@@ -1,0 +1,139 @@
+"""Data pipeline tests: transform sizing parity vs the reference, NYU CSV
+loading with synthetic fixtures, local/global crop dataset, visualization."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from distill_any_depth_tpu.data.transforms import (
+    Compose,
+    NormalizeImage,
+    PrepareForNet,
+    Resize,
+    standard_transform,
+)
+from distill_any_depth_tpu.data.nyu import NYUDataset, iterate_batches
+from distill_any_depth_tpu.data.images import ImageFolderDataset
+from distill_any_depth_tpu.utils.image_util import colorize_depth_maps, normalize_disparity
+
+from reference_loader import REFERENCE_ROOT, reference_available
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference tree not mounted")
+@pytest.mark.parametrize("method", ["lower_bound", "upper_bound", "minimal"])
+@pytest.mark.parametrize("keep_ar", [True, False])
+def test_resize_get_size_parity(method, keep_ar):
+    sys.path.insert(0, REFERENCE_ROOT)
+    from distillanydepth.depth_anything_v2.util.transform import Resize as RefResize
+
+    ref = RefResize(392, 392, keep_aspect_ratio=keep_ar, ensure_multiple_of=14,
+                    resize_method=method)
+    mine = Resize(392, 392, keep_aspect_ratio=keep_ar, ensure_multiple_of=14,
+                  resize_method=method)
+    for w, h in [(640, 480), (480, 640), (392, 392), (1000, 200), (200, 1000),
+                 (393, 391), (14, 14), (4032, 3024)]:
+        assert mine.get_size(w, h) == tuple(ref.get_size(w, h)), (method, keep_ar, w, h)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference tree not mounted")
+def test_resize_image_parity():
+    sys.path.insert(0, REFERENCE_ROOT)
+    from distillanydepth.depth_anything_v2.util.transform import (
+        Resize as RefResize,
+        NormalizeImage as RefNorm,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(480, 640, 3).astype(np.float32)
+    kwargs = dict(resize_target=False, keep_aspect_ratio=True, ensure_multiple_of=14,
+                  resize_method="lower_bound",
+                  image_interpolation_method=cv2.INTER_CUBIC)
+    ref = RefNorm([0.485, 0.456, 0.406], [0.229, 0.224, 0.225])(
+        RefResize(392, 392, **kwargs)({"image": img.copy()})
+    )["image"]
+    mine = Compose([Resize(392, 392, **kwargs), NormalizeImage(), PrepareForNet()])(
+        {"image": img.copy()}
+    )["image"]
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+@pytest.fixture
+def nyu_fixture(tmp_path):
+    """Synthetic NYU layout: train pair (uint8 depth) + test pair (uint16)."""
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data"
+    d.mkdir()
+    rows_train, rows_test = [], []
+    for i in range(3):
+        rgb = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        cv2.imwrite(str(d / f"rgb{i}.png"), rgb)
+        cv2.imwrite(str(d / f"d8_{i}.png"), rng.randint(0, 255, (48, 64), np.uint8))
+        cv2.imwrite(
+            str(d / f"d16_{i}.png"), rng.randint(0, 65535, (48, 64)).astype(np.uint16)
+        )
+        rows_train.append(f"data/rgb{i}.png,data/d8_{i}.png")
+        rows_test.append(f"data/rgb{i}.png,data/d16_{i}.png")
+    (d / "nyu2_train.csv").write_text("\n".join(rows_train))
+    (d / "nyu2_test.csv").write_text("\n".join(rows_test))
+    return tmp_path
+
+
+def test_nyu_dataset(nyu_fixture):
+    ds = NYUDataset("train", dataset_dir=str(nyu_fixture / "data"), image_size=56,
+                    root_dir=str(nyu_fixture))
+    assert len(ds) == 3
+    s = ds[0]
+    assert s.image.shape == (56, 56, 3) and s.image.dtype == np.float32
+    assert s.depth.shape == (56, 56) and 0.0 <= s.depth.min() <= s.depth.max() <= 1.0
+    # normalized by default (not the reference's raw 0-255 quirk)
+    assert abs(s.image.mean()) < 5.0
+
+    raw = NYUDataset("train", dataset_dir=str(nyu_fixture / "data"), image_size=56,
+                     root_dir=str(nyu_fixture), raw_255=True)[0]
+    assert raw.image.max() > 10.0  # raw 0-255 floats
+
+    test_ds = NYUDataset("test", dataset_dir=str(nyu_fixture / "data"), image_size=56,
+                         root_dir=str(nyu_fixture))
+    assert test_ds[0].depth.max() <= 1.0  # uint16 / 65535
+
+    batches = list(iterate_batches(ds, batch_size=2, seed=0))
+    assert len(batches) == 1
+    assert batches[0]["image"].shape == (2, 56, 56, 3)
+    assert batches[0]["depth"].shape == (2, 56, 56)
+
+
+def test_nyu_retry_on_corrupt(nyu_fixture):
+    # corrupt one rgb file; loader must retry onto a valid random index
+    bad = nyu_fixture / "data" / "rgb1.png"
+    bad.write_bytes(b"not a png")
+    ds = NYUDataset("train", dataset_dir=str(nyu_fixture / "data"), image_size=56,
+                    root_dir=str(nyu_fixture))
+    s = ds[1]
+    assert s.image.shape == (56, 56, 3)
+
+
+def test_image_folder_dataset(tmp_path):
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / f"img{i}.jpg"),
+                    rng.randint(0, 255, (480, 640, 3), np.uint8))
+    ds = ImageFolderDataset(str(tmp_path), global_size=280, local_size=280,
+                            min_local_crop=140, seed=0)
+    s = ds[0]
+    gh, gw = s.global_image.shape[:2]
+    assert gh % 14 == 0 and gw % 14 == 0 and min(gh, gw) >= 280
+    assert s.local_image.shape == (280, 280, 3)
+    l, t, r, b = s.crop_box
+    assert 0 <= l < r <= gw and 0 <= t < b <= gh
+
+
+def test_colorize():
+    depth = np.random.RandomState(0).rand(2, 8, 8)
+    col = colorize_depth_maps(depth, 0, 1)
+    assert col.shape == (2, 3, 8, 8)
+    assert col.min() >= 0 and col.max() <= 1
+    nd = normalize_disparity(depth * 7 + 3)
+    assert abs(nd.min()) < 1e-6 and abs(nd.max() - 1) < 1e-6

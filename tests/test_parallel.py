@@ -1,0 +1,104 @@
+"""Multi-device data-parallel tests on the 8-device virtual CPU mesh.
+
+The detectron2-style contract (SURVEY.md §4): real tiny multi-device runs,
+no mocked communication. DP-sharded training must match single-device
+training bit-for-bit-ish (same global batch, same update).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distill_any_depth_tpu.configs import LossConfig, OptimizerConfig
+from distill_any_depth_tpu.models.factory import create_model, init_params
+from distill_any_depth_tpu.parallel.mesh import (
+    batch_sharding,
+    host_local_batch_size,
+    make_mesh,
+    shard_batch,
+)
+from distill_any_depth_tpu.train.state import create_train_state
+from distill_any_depth_tpu.train.step import make_train_step
+from test_train import tiny_model_cfg, _batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest XLA_FLAGS)")
+    return make_mesh(dp=8)
+
+
+def _setup():
+    student = create_model(tiny_model_cfg("s"))
+    teacher = create_model(tiny_model_cfg("t"))
+    sp = init_params(student, 0, image_size=56)
+    tp = init_params(teacher, 1, image_size=56)
+    opt = OptimizerConfig(lr=1e-3, warmup_steps=0, schedule="none", total_steps=10)
+    return student, teacher, sp, tp, opt
+
+
+def test_mesh_shapes(mesh):
+    assert mesh.shape == {"data": 8, "model": 1}
+    assert host_local_batch_size(mesh, 16) == 2
+    with pytest.raises(ValueError):
+        host_local_batch_size(mesh, 9)
+
+
+def test_dp_gradients_match_single_device(mesh):
+    """The invariant of data parallelism: global loss and gradients computed
+    on the sharded batch equal the single-device values (up to psum
+    reduction-order noise). Comparing post-Adam params instead would be
+    ill-conditioned: for near-zero gradient elements Adam's g/sqrt(v) is
+    +-1 regardless of |g|, so fp noise flips full-size updates."""
+    student, teacher, sp, tp, opt = _setup()
+    loss_cfg = LossConfig(use_hdn=True, hdn_variant="dr")
+
+    from distill_any_depth_tpu.losses.distill import combined_distillation_loss
+    from distill_any_depth_tpu.parallel.mesh import replicated
+
+    def loss_fn(p, tparams, x):
+        sg, _ = student.apply({"params": p}, x)
+        sl, sf = student.apply({"params": p}, x)
+        td, tf = teacher.apply({"params": tparams}, x)
+        td, tf = jax.lax.stop_gradient(td), jax.lax.stop_gradient(tf)
+        total, _ = combined_distillation_loss(loss_cfg, sg, sl, sf, td, tf)
+        return total
+
+    x = _batch(bs=8, size=56, seed=3)
+
+    g_single = jax.jit(jax.value_and_grad(loss_fn))(sp, tp, x)
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    g_dp = jax.jit(
+        jax.value_and_grad(loss_fn), in_shardings=(rep, rep, data),
+        out_shardings=(rep, rep),
+    )(sp, tp, shard_batch(mesh, x))
+
+    np.testing.assert_allclose(float(g_dp[0]), float(g_single[0]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dp[1]),
+                    jax.tree_util.tree_leaves(g_single[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_dp_train_step_runs(mesh):
+    student, teacher, sp, tp, opt = _setup()
+    loss_cfg = LossConfig(use_hdn=False)
+    s_apply = lambda p, x: student.apply({"params": p}, x)  # noqa: E731
+    t_apply = lambda p, x: teacher.apply({"params": p}, x)  # noqa: E731
+    state, tx = create_train_state(jax.tree_util.tree_map(jnp.array, sp), opt)
+    step = make_train_step(s_apply, [t_apply], tx, loss_cfg, seed=0, mesh=mesh)
+    x = shard_batch(mesh, _batch(bs=8, size=56, seed=3))
+    state, m1 = step(state, (tp,), x, x)
+    state, m2 = step(state, (tp,), x, x)
+    assert int(state.step) == 2
+    assert float(m2["total"]) < float(m1["total"])
+
+
+def test_batch_is_actually_sharded(mesh):
+    x = _batch(bs=8)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding == batch_sharding(mesh)
+    # each device holds 1/8 of the batch
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(1, 56, 56, 3)}

@@ -1,0 +1,189 @@
+"""Training subsystem tests: optimizer parity vs torch Adam, schedules,
+smoke distillation steps on tiny models, checkpoint resume."""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distill_any_depth_tpu.configs import (
+    EncoderConfig,
+    LossConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from distill_any_depth_tpu.models.factory import create_model, init_params
+from distill_any_depth_tpu.train.state import (
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
+from distill_any_depth_tpu.train.step import make_eval_loss_fn, make_train_step
+from distill_any_depth_tpu.utils import checkpoint as ckpt_io
+
+
+def tiny_model_cfg(name="tiny", **kw) -> ModelConfig:
+    enc = EncoderConfig(
+        name="tiny-enc", embed_dim=32, depth=3, num_heads=2,
+        patch_size=14, base_img_size=56, out_indices=(0, 1, 2, 2),
+    )
+    return ModelConfig(name, enc, features=8, out_channels=(4, 8, 16, 32), **kw)
+
+
+def _batch(bs=2, size=56, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.rand(bs, size, size, 3), jnp.float32)
+
+
+# ----------------------------------------------------------------- optimizer
+
+def test_adam_l2_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(5, 4).astype(np.float32)
+    grads = [rng.randn(5, 4).astype(np.float32) for _ in range(4)]
+
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=1e-2, weight_decay=1e-2)
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    cfg = OptimizerConfig(lr=1e-2, weight_decay=1e-2, warmup_steps=0,
+                          schedule="none", max_grad_norm=0.0)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_lr_schedule_warmup_cosine():
+    cfg = OptimizerConfig(lr=1e-3, warmup_steps=10, schedule="cosine",
+                          total_steps=110, eta_min_ratio=0.01)
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    assert float(sched(110)) == pytest.approx(1e-5, rel=1e-3)
+
+
+# ------------------------------------------------------------------ training
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    scfg = tiny_model_cfg("tiny-student")
+    tcfg = tiny_model_cfg("tiny-teacher")
+    student = create_model(scfg)
+    teacher = create_model(tcfg)
+    sp = init_params(student, 0, image_size=56)
+    tp = init_params(teacher, 1, image_size=56)
+    return scfg, student, sp, teacher, tp
+
+
+def test_train_step_decreases_loss(tiny_setup):
+    scfg, student, sp, teacher, tp = tiny_setup
+    opt = OptimizerConfig(lr=1e-3, warmup_steps=0, schedule="none", total_steps=100)
+    # copy: the train step donates the state, which would delete the
+    # module-scoped fixture params
+    state, tx = create_train_state(jax.tree_util.tree_map(jnp.array, sp), opt)
+    loss_cfg = LossConfig(normalization="hybrid", use_hdn=True, hdn_variant="dr")
+
+    step = make_train_step(
+        lambda p, x: student.apply({"params": p}, x),
+        [lambda p, x: teacher.apply({"params": p}, x)],
+        tx, loss_cfg, seed=0,
+    )
+    x = _batch()
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, (tp,), x, x)
+        assert np.isfinite(float(metrics["total"]))
+        losses.append(float(metrics["total"]))
+    assert int(state.step) == 6
+    assert losses[-1] < losses[0], losses
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_multi_teacher_switch(tiny_setup):
+    scfg, student, sp, teacher, tp = tiny_setup
+    teacher2 = create_model(tiny_model_cfg("tiny-teacher2"))
+    tp2 = init_params(teacher2, 2, image_size=56)
+    opt = OptimizerConfig(lr=1e-4, warmup_steps=0, schedule="none", total_steps=100)
+    state, tx = create_train_state(jax.tree_util.tree_map(jnp.array, sp), opt)
+    loss_cfg = LossConfig(use_hdn=False)
+
+    step = make_train_step(
+        lambda p, x: student.apply({"params": p}, x),
+        [
+            lambda p, x: teacher.apply({"params": p}, x),
+            lambda p, x: teacher2.apply({"params": p}, x),
+        ],
+        tx, loss_cfg, seed=0,
+    )
+    x = _batch()
+    seen = set()
+    for _ in range(8):
+        state, metrics = step(state, (tp, tp2), x, x)
+        seen.add(int(metrics["teacher_idx"]))
+    assert seen == {0, 1}, seen  # both teachers get selected
+
+
+def test_eval_loss_fn(tiny_setup):
+    scfg, student, sp, teacher, tp = tiny_setup
+    loss_cfg = LossConfig(use_hdn=True)
+    eval_fn = make_eval_loss_fn(
+        lambda p, x: student.apply({"params": p}, x),
+        [lambda p, x: teacher.apply({"params": p}, x)],
+        loss_cfg,
+    )
+    comps = eval_fn(sp, (tp,), jnp.int32(0), _batch(), _batch())
+    assert {"sc", "lg", "feat", "grad", "hdn", "total"} <= set(comps)
+    assert np.isfinite(float(comps["total"]))
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    scfg, student, sp, teacher, tp = tiny_setup
+    opt = OptimizerConfig(lr=1e-3, warmup_steps=0, schedule="none", total_steps=10)
+    state, tx = create_train_state(sp, opt)
+
+    # orbax full-state roundtrip
+    path = str(tmp_path / "state")
+    ckpt_io.save_train_state(path, state)
+    restored = ckpt_io.restore_train_state(path, template=state)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # safetensors roundtrip through the reference layout
+    st_path = str(tmp_path / "w.safetensors")
+    ckpt_io.save_safetensors(st_path, sp, scfg)
+    loaded = ckpt_io.load_safetensors(st_path, scfg)
+    flat = {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_leaves_with_path(loaded)}
+    for p, v in jax.tree_util.tree_leaves_with_path(sp):
+        np.testing.assert_allclose(
+            np.asarray(v), flat[jax.tree_util.keystr(p)], rtol=1e-6
+        )
+
+
+def test_convert_checkpoint(tmp_path, tiny_setup):
+    scfg, student, sp, *_ = tiny_setup
+    src = str(tmp_path / "in.safetensors")
+    dst = str(tmp_path / "out.safetensors")
+    ckpt_io.save_safetensors(src, sp, scfg)
+    n = ckpt_io.convert_checkpoint(src, dst)
+    assert n > 0
+    from safetensors import numpy as st_numpy
+
+    keys = st_numpy.load_file(dst).keys()
+    assert any(k.startswith("backbone.") for k in keys)
+    assert not any(k.startswith("pretrained.") for k in keys)
