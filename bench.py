@@ -37,9 +37,10 @@ def main() -> None:
 
     # The TPU is reached through a network tunnel here, so per-iteration
     # host<->device sync would measure round-trip latency, not device
-    # throughput. Chain ITERS forwards on-device with lax.scan (each
-    # iteration's input depends on the previous output, so nothing can be
-    # elided or overlapped) and sync once.
+    # throughput (and block_until_ready has been observed returning early on
+    # this remote backend). Chain ITERS forwards on-device with lax.scan
+    # (each iteration's input depends on the previous output, so nothing can
+    # be elided or overlapped), return a scalar, and force a value fetch.
     @jax.jit
     def forward_chain(p, x):
         def body(carry, _):
@@ -47,10 +48,10 @@ def main() -> None:
             # 1e-12-scaled feedback: a true data dependency XLA cannot fold
             # away (x*0 could be simplified), value change is negligible.
             carry = carry + (depth[..., None] * 1e-12).astype(carry.dtype)
-            return carry, depth[0, 0, 0]
+            return carry, ()
 
-        carry, probes = jax.lax.scan(body, x, None, length=ITERS)
-        return probes
+        carry, _ = jax.lax.scan(body, x, None, length=ITERS)
+        return jnp.sum(carry[0, 0, 0].astype(jnp.float32))
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16)
@@ -59,12 +60,20 @@ def main() -> None:
     out = np.asarray(forward(params, x))
     assert out.shape == (BATCH, SIZE, SIZE) and np.isfinite(out).all()
 
-    jax.block_until_ready(forward_chain(params, x))  # compile + warm
+    # measure the host<->device round-trip to subtract it from chain times
+    s = jnp.float32(1.0)
+    float(s + 1)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(s + 1)
+    rtt = (time.perf_counter() - t0) / 5
+
+    float(forward_chain(params, x))  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(forward_chain(params, x))
-        times.append((time.perf_counter() - t0) / ITERS)
+        float(forward_chain(params, x))  # value fetch = real sync
+        times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS)
     dt = float(np.median(times))
 
     img_s = BATCH / dt

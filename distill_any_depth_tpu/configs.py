@@ -31,6 +31,10 @@ class EncoderConfig:
     num_register_tokens: int = 0
     interpolate_offset: float = 0.1
     out_indices: tuple[int, int, int, int] = (2, 5, 8, 11)
+    # Local-window attention (odd window width in patches; None = global).
+    # Covers the reference's windowed high-resolution variant
+    # (ViT_DINO.py:875-1234) as an additive attention bias.
+    window_size: int | None = None
 
     @property
     def head_dim(self) -> int:
@@ -158,6 +162,7 @@ class TrainConfig:
     val_split: float = 0.1
     checkpoint_interval: int = 1000
     log_interval: int = 100
+    visualize_interval: int = 500
     early_stopping: int = 0
     output_dir: str = "output"
     dataset_dir: str = "data/nyu"
@@ -166,6 +171,9 @@ class TrainConfig:
     dp: int = 1  # data-parallel mesh size over ICI
     teacher_dtype: str = "bfloat16"
     student_compute_dtype: str = "float32"
+    # host IO: prefer the C++ threaded loader (native/dad_loader.cpp) when
+    # buildable; falls back to the Python loader otherwise
+    use_native_loader: bool = True
 
 
 def model_config(arch_name: str) -> ModelConfig:

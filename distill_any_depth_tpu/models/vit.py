@@ -109,7 +109,7 @@ class Attention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
         b, n, c = x.shape
         h = self.num_heads
         d = c // h
@@ -117,7 +117,7 @@ class Attention(nn.Module):
         # torch packs rows as (q|k|v, head, head_dim) — same ordering here.
         qkv = qkv.reshape(b, n, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = multi_head_attention(q, k, v, impl=self.attn_impl)
+        out = multi_head_attention(q, k, v, bias=bias, impl=self.attn_impl)
         out = out.reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -134,7 +134,7 @@ class Block(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
         dim = x.shape[-1]
 
         def layer_scale(name: str, y: jnp.ndarray) -> jnp.ndarray:
@@ -146,7 +146,7 @@ class Block(nn.Module):
             return y * gamma.astype(self.dtype)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.num_heads, self.dtype, self.attn_impl, name="attn")(y)
+        y = Attention(self.num_heads, self.dtype, self.attn_impl, name="attn")(y, bias)
         x = x + layer_scale("ls1_gamma", y)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
@@ -254,7 +254,15 @@ class DinoViT(nn.Module):
 
         block = Block
         if self.remat:
-            block = nn.remat(Block)
+            block = nn.remat(Block, static_argnums=())
+
+        bias = None
+        if cfg.window_size is not None:
+            from distill_any_depth_tpu.ops.window import local_window_bias
+
+            bias = local_window_bias(gh, gw, cfg.window_size, n_prefix=(
+                1 + cfg.num_register_tokens
+            )).astype(self.dtype)
 
         out_set = set(cfg.out_indices)
         raw_taps: dict[int, jnp.ndarray] = {}
@@ -267,7 +275,7 @@ class DinoViT(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"blocks_{i}",
-            )(tokens)
+            )(tokens, bias)
             if i in out_set:
                 raw_taps[i] = tokens
 

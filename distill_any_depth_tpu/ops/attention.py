@@ -55,12 +55,12 @@ def multi_head_attention(
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch attention over ``[B, N, H, D]`` q/k/v."""
-    if impl == "reference":
-        return mha_reference(q, k, v, bias)
-    if impl == "flash" or (impl == "auto" and _use_flash(q)):
+    if impl == "flash" or (impl == "auto" and impl != "reference" and _use_flash(q)):
         from distill_any_depth_tpu.ops import flash_attention
 
         return flash_attention.mha_flash(q, k, v, bias)
+    if bias is not None and bias.ndim == 2:
+        bias = bias[None, None]  # [N,N] -> broadcast over (batch, heads)
     return mha_reference(q, k, v, bias)
 
 

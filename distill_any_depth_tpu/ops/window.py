@@ -1,0 +1,44 @@
+"""Local-window attention bias for high-resolution token grids.
+
+The reference bounds attention cost at high resolution with a windowed ViT
+variant whose xformers ``local_2d_pattern`` additive log-mask has corner/edge
+completion (ViT_DINO.py:1141-1178, applied :1217-1234). Here the same
+capability is a precomputed additive bias fed to the attention op (einsum or
+Pallas flash): 0 inside the local 2-D window, -inf outside; prefix tokens
+(cls/registers) attend and are attended everywhere.
+
+The bias is built with numpy at trace time (static grid under jit) and
+constant-folded by XLA.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["local_window_bias"]
+
+
+@functools.lru_cache(maxsize=64)
+def _bias_np(gh: int, gw: int, window: int, n_prefix: int) -> np.ndarray:
+    n = n_prefix + gh * gw
+    ys, xs = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    ys, xs = ys.reshape(-1), xs.reshape(-1)
+    half = window // 2
+    dy = np.abs(ys[:, None] - ys[None, :])
+    dx = np.abs(xs[:, None] - xs[None, :])
+    allowed = (dy <= half) & (dx <= half)
+    bias = np.full((n, n), -np.inf, dtype=np.float32)
+    bias[:n_prefix, :] = 0.0
+    bias[:, :n_prefix] = 0.0
+    bias[n_prefix:, n_prefix:][allowed] = 0.0
+    return bias
+
+
+def local_window_bias(
+    gh: int, gw: int, window: int, n_prefix: int = 1
+) -> jnp.ndarray:
+    """Additive ``[N, N]`` attention bias (N = n_prefix + gh*gw) restricting
+    patch-token attention to a ``window x window`` neighbourhood."""
+    return jnp.asarray(_bias_np(gh, gw, window, n_prefix))

@@ -22,9 +22,14 @@ import numpy as np
 from distill_any_depth_tpu.configs import TrainConfig
 from distill_any_depth_tpu.data.nyu import NYUDataset, iterate_batches
 from distill_any_depth_tpu.models.factory import create_model, init_params
-from distill_any_depth_tpu.train.state import TrainState, create_train_state
+from distill_any_depth_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_lr_schedule,
+)
 from distill_any_depth_tpu.train.step import make_eval_loss_fn, make_train_step
 from distill_any_depth_tpu.utils import checkpoint as ckpt_io
+from distill_any_depth_tpu.utils.profiling import StepTimer
 from distill_any_depth_tpu.configs import model_config
 
 logger = logging.getLogger("distill_any_depth_tpu.train")
@@ -60,6 +65,7 @@ class Trainer:
 
         opt = cfg.optimizer
         self.state, self.tx = create_train_state(self.student_params, opt)
+        self.lr_schedule = make_lr_schedule(opt)
 
         student_apply = lambda p, x: self.student.apply({"params": p}, x)  # noqa: E731
         teacher_applies = [
@@ -92,6 +98,7 @@ class Trainer:
         start = time.time()
         step = int(self.state.step)
         max_steps = max_steps or (cfg.num_iterations or None)
+        timer = StepTimer()
 
         try:
             for epoch in range(cfg.num_epochs):
@@ -105,6 +112,8 @@ class Trainer:
                     loss = float(metrics["total"])
                     epoch_loss += loss
                     nbatches += 1
+                    timer.tick(g.shape[0])
+                    history["lr"].append(float(self.lr_schedule(step)))
 
                     if step % cfg.log_interval == 0 or step == 1:
                         comp = {
@@ -113,11 +122,14 @@ class Trainer:
                             if k != "teacher_idx"
                         }
                         logger.info(
-                            "step %d | epoch %d | %s | %.1fs",
-                            step, epoch + 1, comp, time.time() - start,
+                            "step %d | epoch %d | %s | lr %.2e | %.2f img/s | %.1fs",
+                            step, epoch + 1, comp, history["lr"][-1],
+                            timer.images_per_sec, time.time() - start,
                         )
                     if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
                         self._save_step_checkpoint(step)
+                    if cfg.visualize_interval and step % cfg.visualize_interval == 0:
+                        self._visualize(g, l, step)
                 if max_steps and step >= max_steps:
                     if nbatches:
                         history["train_loss"].append(epoch_loss / nbatches)
@@ -158,7 +170,33 @@ class Trainer:
         )
         with open(os.path.join(cfg.output_dir, "history.json"), "w") as f:
             json.dump(history, f)
+        try:
+            from distill_any_depth_tpu.utils.visualize import plot_history
+
+            plot_history(history, cfg.output_dir)
+        except Exception:  # plotting must never fail a run
+            logger.exception("history plotting failed")
         return history
+
+    def _visualize(self, global_image, local_image, step: int) -> None:
+        try:
+            from distill_any_depth_tpu.utils.visualize import (
+                visualize_depth_predictions,
+            )
+
+            s_depth, _ = self.student.apply({"params": self.state.params}, local_image)
+            t_depth, _ = self.teachers[0].apply(
+                {"params": self.teacher_params[0]},
+                local_image.astype(self.teachers[0].dtype),
+            )
+            visualize_depth_predictions(
+                np.asarray(s_depth, np.float32),
+                np.asarray(t_depth, np.float32),
+                step,
+                self.cfg.output_dir,
+            )
+        except Exception:
+            logger.exception("visualization failed")
 
     def validate(self, batches: Iterable[dict]) -> dict:
         sums: dict[str, float] = {}
@@ -196,7 +234,17 @@ def _views(batch: dict):
 
 
 def train_nyu(cfg: TrainConfig, root_dir: str | None = None) -> dict:
-    """End-to-end NYU distillation run (reference train(), :1148)."""
+    """End-to-end NYU distillation run (reference train(), :1148).
+
+    Prefers the native C++ prefetching loader; falls back to the Python
+    loader when the native runtime is unavailable.
+    """
+    if cfg.use_native_loader:
+        try:
+            return _train_nyu_native(cfg, root_dir)
+        except Exception:
+            logger.exception("native loader path failed; using Python loader")
+
     ds = NYUDataset(
         "train", dataset_dir=cfg.dataset_dir, image_size=cfg.image_size,
         root_dir=root_dir,
@@ -219,3 +267,63 @@ def train_nyu(cfg: TrainConfig, root_dir: str | None = None) -> dict:
         ),
         max_steps=cfg.num_iterations or None,
     )
+
+
+def _train_nyu_native(cfg: TrainConfig, root_dir: str | None) -> dict:
+    from distill_any_depth_tpu.data import native_loader
+
+    if not native_loader.available():
+        raise RuntimeError("native loader not buildable")
+
+    root = os.path.abspath(root_dir or os.getcwd())
+    csv_name = "nyu2_train.csv"
+    candidates = [
+        os.path.join(cfg.dataset_dir, csv_name),
+        os.path.join("data", csv_name),
+        csv_name,
+    ]
+    csv_path = next((p for p in candidates if os.path.exists(p)), None)
+    if csv_path is None:
+        raise FileNotFoundError(f"CSV not found in {candidates}")
+
+    with open(csv_path) as f:
+        rows = [ln.strip() for ln in f if ln.strip()]
+    rng = np.random.RandomState(cfg.seed)
+    rng.shuffle(rows)
+    n_val = int(len(rows) * cfg.val_split)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    train_csv = os.path.join(cfg.output_dir, "split_train.csv")
+    val_csv = os.path.join(cfg.output_dir, "split_val.csv")
+    with open(train_csv, "w") as f:
+        f.write("\n".join(rows[n_val:]))
+    with open(val_csv, "w") as f:
+        f.write("\n".join(rows[:n_val]))
+
+    train_loader = native_loader.NativeNYULoader(
+        train_csv, root, image_size=cfg.image_size, batch_size=cfg.batch_size,
+        shuffle=True, seed=cfg.seed,
+    )
+    steps_per_epoch = max(len(train_loader) // cfg.batch_size, 1)
+    val_loader = None
+    if n_val >= cfg.batch_size:
+        val_loader = native_loader.NativeNYULoader(
+            val_csv, root, image_size=cfg.image_size, batch_size=cfg.batch_size,
+            shuffle=False, seed=cfg.seed,
+        )
+    val_steps = (n_val // cfg.batch_size) if val_loader else 0
+
+    logger.info(
+        "native loader: %d train samples (%d steps/epoch), %d val steps",
+        len(train_loader), steps_per_epoch, val_steps,
+    )
+    trainer = Trainer(cfg)
+    try:
+        return trainer.run(
+            train_batches=lambda epoch: train_loader.batches(steps_per_epoch),
+            val_batches=(lambda: val_loader.batches(val_steps)) if val_loader else None,
+            max_steps=cfg.num_iterations or None,
+        )
+    finally:
+        train_loader.close()
+        if val_loader:
+            val_loader.close()

@@ -1,0 +1,96 @@
+"""Native C++ data-loader tests: build, exact parity with the Python loader
+(same OpenCV ops), multithreaded streaming, corrupt-file resilience."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from distill_any_depth_tpu.data import native_loader
+from distill_any_depth_tpu.data.nyu import NYUDataset
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="native loader not buildable here"
+)
+
+
+@pytest.fixture
+def nyu_tree(tmp_path):
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data"
+    d.mkdir()
+    rows = []
+    for i in range(6):
+        cv2.imwrite(str(d / f"rgb{i}.png"), rng.randint(0, 255, (48, 64, 3), np.uint8))
+        if i % 2 == 0:
+            cv2.imwrite(str(d / f"dep{i}.png"),
+                        rng.randint(0, 255, (48, 64), np.uint8))
+        else:
+            cv2.imwrite(str(d / f"dep{i}.png"),
+                        rng.randint(0, 65535, (48, 64)).astype(np.uint16))
+        rows.append(f"data/rgb{i}.png,data/dep{i}.png")
+    csv = d / "nyu2_train.csv"
+    csv.write_text("\n".join(rows))
+    return tmp_path, str(csv)
+
+
+def test_native_matches_python_loader(nyu_tree):
+    root, csv = nyu_tree
+    loader = native_loader.NativeNYULoader(
+        csv, str(root), image_size=56, batch_size=6, num_threads=1,
+        shuffle=False, seed=0,
+    )
+    assert len(loader) == 6
+    batch = loader.next_batch()
+    loader.close()
+
+    py = NYUDataset("train", dataset_dir=os.path.dirname(csv), image_size=56,
+                    root_dir=str(root))
+    # The Python wheel ships OpenCV 5.x while the system C++ lib is 4.6;
+    # their uint8 INTER_CUBIC rounding differs by at most one 1/255 step
+    # (0.0175 after ImageNet std scaling). Depth uses INTER_NEAREST = exact.
+    one_step = (1.0 / 255.0) / 0.224 + 1e-4
+    for i in range(6):
+        s = py[i]
+        np.testing.assert_allclose(batch["image"][i], s.image, atol=one_step,
+                                   err_msg=f"image {i}")
+        np.testing.assert_allclose(batch["depth"][i], s.depth, atol=1e-7,
+                                   err_msg=f"depth {i}")
+
+
+def test_native_multithreaded_stream(nyu_tree):
+    root, csv = nyu_tree
+    loader = native_loader.NativeNYULoader(
+        csv, str(root), image_size=56, batch_size=4, num_threads=4,
+        shuffle=True, seed=1,
+    )
+    seen = 0
+    for batch in loader.batches(5):
+        assert batch["image"].shape == (4, 56, 56, 3)
+        assert np.isfinite(batch["image"]).all()
+        assert batch["depth"].min() >= 0 and batch["depth"].max() <= 1.0
+        seen += 4
+    loader.close()
+    assert seen == 20  # stream crosses epoch boundaries seamlessly
+
+
+def test_native_corrupt_file_retry(nyu_tree):
+    root, csv = nyu_tree
+    # corrupt one rgb; the worker must retry onto valid samples
+    with open(os.path.join(str(root), "data", "rgb2.png"), "wb") as f:
+        f.write(b"garbage")
+    loader = native_loader.NativeNYULoader(
+        csv, str(root), image_size=56, batch_size=6, num_threads=2, seed=2,
+    )
+    batch = loader.next_batch()
+    loader.close()
+    assert np.isfinite(batch["image"]).all()
+
+
+def test_native_missing_csv(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        native_loader.NativeNYULoader(
+            str(tmp_path / "nope.csv"), str(tmp_path), image_size=56,
+            batch_size=2,
+        )
