@@ -35,6 +35,10 @@ class EncoderConfig:
     # Covers the reference's windowed high-resolution variant
     # (ViT_DINO.py:875-1234) as an additive attention bias.
     window_size: int | None = None
+    # Parameter-efficient tuning (ViT_DINO_reg.py:29-133): LoRA rank on
+    # attention qkv/proj (0 = off) and SSF scale/shift adapters.
+    lora_rank: int = 0
+    use_ssf: bool = False
 
     @property
     def head_dim(self) -> int:

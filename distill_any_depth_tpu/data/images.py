@@ -51,6 +51,7 @@ class ImageFolderDataset:
         min_local_crop: int = 384,
         seed: int = 0,
         image_paths: list[str] | None = None,
+        square_global: bool = True,
     ):
         if image_paths is None:
             image_paths = sorted(
@@ -60,8 +61,14 @@ class ImageFolderDataset:
         if not image_paths:
             raise ValueError(f"no images found in {image_dir}")
         self.image_paths = image_paths
+        self.global_size = global_size
         self.local_size = local_size
         self.min_local_crop = min_local_crop
+        # Static shapes for XLA: the local crop is taken from the aspect-kept
+        # global image (reference semantics) and then both views are resized
+        # to fixed squares, avoiding the reference's ragged-batch degenerate
+        # path (train_distillation.py:1388-1485).
+        self.square_global = square_global
         self.rng = np.random.RandomState(seed)
         self.global_resize = Resize(
             global_size,
@@ -89,6 +96,8 @@ class ImageFolderDataset:
 
         min_crop = max(64, min(self.min_local_crop, gh - 2, gw - 2))
         max_crop = min(gh, gw)
+        # unlike the reference, stay valid for small global sizes
+        min_crop = min(min_crop, max_crop)
         crop = int(self.rng.randint(min_crop, max_crop + 1))
         left = int(self.rng.randint(0, max(0, gw - crop) + 1))
         top = int(self.rng.randint(0, max(0, gh - crop) + 1))
@@ -98,6 +107,11 @@ class ImageFolderDataset:
         local = cv2.resize(
             local, (self.local_size, self.local_size), interpolation=cv2.INTER_CUBIC
         )
+        if self.square_global:
+            g = cv2.resize(
+                g, (self.global_size, self.global_size),
+                interpolation=cv2.INTER_CUBIC,
+            )
 
         norm = lambda a: ((a - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)  # noqa: E731
         return ImagePairSample(

@@ -107,19 +107,26 @@ class Attention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
         b, n, c = x.shape
         h = self.num_heads
         d = c // h
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        if self.lora_rank > 0:
+            from distill_any_depth_tpu.models.adapters import LoRADense
+
+            dense = lambda f, name: LoRADense(f, self.lora_rank, dtype=self.dtype, name=name)  # noqa: E731
+        else:
+            dense = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)  # noqa: E731
+        qkv = dense(3 * c, "qkv")(x)
         # torch packs rows as (q|k|v, head, head_dim) — same ordering here.
         qkv = qkv.reshape(b, n, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = multi_head_attention(q, k, v, bias=bias, impl=self.attn_impl)
         out = out.reshape(b, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return dense(c, "proj")(out)
 
 
 class Block(nn.Module):
@@ -132,6 +139,8 @@ class Block(nn.Module):
     init_values: float | None
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    lora_rank: int = 0
+    use_ssf: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -145,15 +154,28 @@ class Block(nn.Module):
             )
             return y * gamma.astype(self.dtype)
 
+        def maybe_ssf(name: str, y: jnp.ndarray) -> jnp.ndarray:
+            if not self.use_ssf:
+                return y
+            from distill_any_depth_tpu.models.adapters import ssf
+
+            return ssf(self.dtype, name=name)(y)
+
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.num_heads, self.dtype, self.attn_impl, name="attn")(y, bias)
+        y = maybe_ssf("ssf_norm1", y)
+        y = Attention(
+            self.num_heads, self.dtype, self.attn_impl, self.lora_rank, name="attn"
+        )(y, bias)
+        y = maybe_ssf("ssf_attn", y)
         x = x + layer_scale("ls1_gamma", y)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = maybe_ssf("ssf_norm2", y)
         if self.ffn == "swiglu":
             y = SwiGLU(dim, self.mlp_ratio, self.dtype, name="mlp")(y)
         else:
             y = Mlp(int(dim * self.mlp_ratio), dim, self.dtype, name="mlp")(y)
+        y = maybe_ssf("ssf_mlp", y)
         x = x + layer_scale("ls2_gamma", y)
         return x
 
@@ -274,6 +296,8 @@ class DinoViT(nn.Module):
                 init_values=cfg.init_values,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                lora_rank=cfg.lora_rank,
+                use_ssf=cfg.use_ssf,
                 name=f"blocks_{i}",
             )(tokens, bias)
             if i in out_set:

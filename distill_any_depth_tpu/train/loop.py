@@ -34,7 +34,7 @@ from distill_any_depth_tpu.configs import model_config
 
 logger = logging.getLogger("distill_any_depth_tpu.train")
 
-__all__ = ["Trainer", "train_nyu"]
+__all__ = ["Trainer", "train_nyu", "train_images"]
 
 
 class Trainer:
@@ -265,6 +265,48 @@ def train_nyu(cfg: TrainConfig, root_dir: str | None = None) -> dict:
             if val_idx
             else None
         ),
+        max_steps=cfg.num_iterations or None,
+    )
+
+
+def train_images(cfg: TrainConfig, image_dir: str | None = None,
+                 min_local_crop: int = 384) -> dict:
+    """Paper-style distillation on an unlabeled image folder: global view +
+    random local crop per image (the intended behavior of the reference's
+    truncated non-NYU branch, train_distillation.py:1576-1582, with the
+    ImageDataset of :88-169). Both views are static-shape so one compiled
+    step serves the whole run."""
+    from distill_any_depth_tpu.data.images import ImageFolderDataset
+
+    ds = ImageFolderDataset(
+        image_dir or cfg.dataset_dir,
+        global_size=cfg.image_size,
+        local_size=cfg.image_size,
+        min_local_crop=min(min_local_crop, cfg.image_size),
+        seed=cfg.seed,
+    )
+    n_val = int(len(ds) * cfg.val_split)
+    indices = list(range(len(ds)))
+    rng = np.random.RandomState(cfg.seed)
+    rng.shuffle(indices)
+    val_idx, train_idx = indices[:n_val], indices[n_val:]
+
+    def batches(idx_list, shuffle_seed=None):
+        order = list(idx_list)
+        if shuffle_seed is not None:
+            np.random.RandomState(shuffle_seed).shuffle(order)
+        n = (len(order) // cfg.batch_size) * cfg.batch_size
+        for start in range(0, n, cfg.batch_size):
+            samples = [ds[i] for i in order[start : start + cfg.batch_size]]
+            yield {
+                "global_image": np.stack([s.global_image for s in samples]),
+                "local_image": np.stack([s.local_image for s in samples]),
+            }
+
+    trainer = Trainer(cfg)
+    return trainer.run(
+        train_batches=lambda epoch: batches(train_idx, cfg.seed + epoch),
+        val_batches=(lambda: batches(val_idx)) if n_val >= cfg.batch_size else None,
         max_steps=cfg.num_iterations or None,
     )
 

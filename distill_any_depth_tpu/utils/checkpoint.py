@@ -65,10 +65,29 @@ def save_safetensors(path: str, params: Any, cfg: ModelConfig) -> None:
     st_numpy.save_file(state, path)
 
 
-def load_safetensors(path: str, cfg: ModelConfig, strict: bool = True) -> dict:
+def load_safetensors(
+    path: str, cfg: ModelConfig, strict: bool = True, template: Any | None = None
+) -> dict:
+    """Load a reference-layout checkpoint. ``template`` (e.g. freshly
+    initialized params) supplies leaves the torch file cannot carry —
+    LoRA/SSF adapters — which are overlaid with the loaded base weights."""
     from safetensors import numpy as st_numpy
 
-    return torch_to_params(st_numpy.load_file(path), cfg, strict=strict)
+    loaded = torch_to_params(st_numpy.load_file(path), cfg, strict=strict)
+    if template is None:
+        return loaded
+    return merge_params(template, loaded)
+
+
+def merge_params(template: Any, loaded: Any) -> Any:
+    """Overlay ``loaded`` leaves onto ``template`` (dicts merged recursively;
+    leaves present in both take the loaded value)."""
+    if isinstance(template, dict) and isinstance(loaded, dict):
+        out = dict(template)
+        for k, v in loaded.items():
+            out[k] = merge_params(template.get(k), v) if k in template else v
+        return out
+    return loaded if loaded is not None else template
 
 
 def convert_checkpoint(in_path: str, out_path: str) -> int:

@@ -191,6 +191,12 @@ def params_to_torch(params: Mapping, cfg: ModelConfig) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     p = cfg.encoder.patch_size
     for path, v in _flatten(params).items():
+        # adapter params (LoRA/SSF) are framework-native; they have no torch
+        # counterpart and are persisted via orbax train state instead
+        if path[-1] in ("lora_a", "lora_b") or any(
+            str(seg).startswith("ssf_") for seg in path
+        ):
+            continue
         top = path[0]
         if top == "pretrained":
             if path[1] in ("cls_token", "pos_embed", "register_tokens"):

@@ -1,0 +1,133 @@
+"""LoRA/SSF adapter and register-token variant tests."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from distill_any_depth_tpu.configs import ENCODERS, MODELS, ModelConfig
+from distill_any_depth_tpu.models.adapters import adapter_label_tree
+from distill_any_depth_tpu.models.factory import create_model, init_params
+from distill_any_depth_tpu.utils import checkpoint as ckpt_io
+from test_train import tiny_model_cfg
+
+
+def _adapter_cfg(**enc_kw) -> ModelConfig:
+    base = tiny_model_cfg("adapt")
+    enc = dataclasses.replace(base.encoder, **enc_kw)
+    return dataclasses.replace(base, encoder=enc)
+
+
+def test_lora_identity_at_init():
+    """LoRA B=0 init: outputs equal the base model given the same base
+    weights."""
+    cfg_plain = tiny_model_cfg("plain")
+    cfg_lora = _adapter_cfg(lora_rank=4)
+    m_plain = create_model(cfg_plain)
+    m_lora = create_model(cfg_lora)
+
+    p_lora = init_params(m_lora, 0, image_size=56)
+    # strip adapters -> plain param tree
+    def strip(t):
+        if isinstance(t, dict):
+            return {k: strip(v) for k, v in t.items() if k not in ("lora_a", "lora_b")}
+        return t
+
+    p_plain = strip(p_lora)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 56, 56, 3), jnp.float32)
+    d1, _ = m_plain.apply({"params": p_plain}, x)
+    d2, _ = m_lora.apply({"params": p_lora}, x)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+def test_ssf_identity_at_init():
+    cfg_plain = tiny_model_cfg("plain2")
+    cfg_ssf = _adapter_cfg(use_ssf=True)
+    m_plain = create_model(cfg_plain)
+    m_ssf = create_model(cfg_ssf)
+    p_ssf = init_params(m_ssf, 0, image_size=56)
+
+    def strip(t):
+        if isinstance(t, dict):
+            return {k: strip(v) for k, v in t.items() if not k.startswith("ssf_")}
+        return t
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 56, 56, 3), jnp.float32)
+    d1, _ = m_plain.apply({"params": strip(p_ssf)}, x)
+    d2, _ = m_ssf.apply({"params": p_ssf}, x)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+def test_adapter_only_training_mask():
+    cfg = _adapter_cfg(lora_rank=4, use_ssf=True)
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=56)
+    labels = adapter_label_tree(params)
+    flat = jax.tree_util.tree_leaves(labels)
+    assert "adapter" in flat and "frozen" in flat
+
+    tx = optax.multi_transform(
+        {"adapter": optax.sgd(1e-2), "frozen": optax.set_to_zero()}, labels
+    )
+    opt_state = tx.init(params)
+
+    def loss(p, x):
+        d, _ = model.apply({"params": p}, x)
+        return jnp.mean(d**2) + jnp.mean(d)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 56, 56, 3), jnp.float32)
+    grads = jax.grad(loss)(params, x)
+    updates, _ = tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+
+    changed = frozen_changed = 0
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(new),
+    ):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        is_adapter = any(k in ("lora_a", "lora_b") or k.startswith("ssf_") for k in keys)
+        diff = float(jnp.abs(a - b).max())
+        if is_adapter and diff > 0:
+            changed += 1
+        if not is_adapter and diff > 0:
+            frozen_changed += 1
+    assert changed > 0
+    assert frozen_changed == 0
+
+
+def test_register_tokens_variant():
+    """DINOv2-with-registers: 4 register tokens inserted after cls, stripped
+    from taps (ViT_DINO_reg.py:935-955)."""
+    base = tiny_model_cfg("reg")
+    enc = dataclasses.replace(base.encoder, num_register_tokens=4,
+                              interpolate_offset=0.0)
+    cfg = dataclasses.replace(base, encoder=enc)
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=56)
+    assert "register_tokens" in params["pretrained"]
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 56, 56, 3), jnp.float32)
+    depth, feat = model.apply({"params": params}, x)
+    assert depth.shape == (2, 56, 56)
+    assert feat.shape == (2, 16, enc.embed_dim)  # registers stripped
+
+
+def test_torch_export_skips_adapters(tmp_path):
+    cfg = _adapter_cfg(lora_rank=4, use_ssf=True)
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=56)
+    path = str(tmp_path / "w.safetensors")
+    ckpt_io.save_safetensors(path, params, cfg)
+    from safetensors import numpy as st_numpy
+
+    keys = st_numpy.load_file(path).keys()
+    assert not any("lora" in k or "ssf" in k for k in keys)
+
+    # loading back with a template restores adapter leaves at init values
+    loaded = ckpt_io.load_safetensors(path, cfg, template=params)
+    d0, _ = model.apply({"params": params}, jnp.zeros((1, 56, 56, 3)))
+    d1, _ = model.apply({"params": loaded}, jnp.zeros((1, 56, 56, 3)))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)

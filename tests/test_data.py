@@ -120,14 +120,22 @@ def test_image_folder_dataset(tmp_path):
     for i in range(2):
         cv2.imwrite(str(tmp_path / f"img{i}.jpg"),
                     rng.randint(0, 255, (480, 640, 3), np.uint8))
+    # aspect-kept (reference-style) global view
     ds = ImageFolderDataset(str(tmp_path), global_size=280, local_size=280,
-                            min_local_crop=140, seed=0)
+                            min_local_crop=140, seed=0, square_global=False)
     s = ds[0]
     gh, gw = s.global_image.shape[:2]
     assert gh % 14 == 0 and gw % 14 == 0 and min(gh, gw) >= 280
     assert s.local_image.shape == (280, 280, 3)
     l, t, r, b = s.crop_box
     assert 0 <= l < r <= gw and 0 <= t < b <= gh
+
+    # static-shape global view (default): both views fixed squares
+    ds_sq = ImageFolderDataset(str(tmp_path), global_size=280, local_size=280,
+                               min_local_crop=140, seed=0)
+    s2 = ds_sq[0]
+    assert s2.global_image.shape == (280, 280, 3)
+    assert s2.local_image.shape == (280, 280, 3)
 
 
 def test_colorize():

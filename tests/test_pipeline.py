@@ -1,0 +1,109 @@
+"""Pipeline-level tests: device-side preprocessing + bucketing, pseudo-label
+CLI, image-folder training path."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from distill_any_depth_tpu.configs import (
+    LossConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from distill_any_depth_tpu.ops.preprocess import (
+    DEFAULT_BUCKETS,
+    preprocess_on_device,
+    snap_to_bucket,
+)
+from test_train import tiny_model_cfg
+
+
+def test_snap_to_bucket():
+    assert snap_to_bucket(0) == 196
+    assert snap_to_bucket(392) == 392
+    assert snap_to_bucket(400) == 518
+    assert snap_to_bucket(10_000) == DEFAULT_BUCKETS[-1]
+    for b in DEFAULT_BUCKETS:
+        assert b % 14 == 0
+
+
+def test_preprocess_on_device_matches_host():
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 255, (2, 56, 70, 3), np.uint8)
+    out = preprocess_on_device(jnp.asarray(raw), 56)
+    assert out.shape == (2, 56, 56, 3)
+    # host equivalent with the same bicubic-torch semantics
+    from distill_any_depth_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from distill_any_depth_tpu.ops.resize import resize_2d
+
+    host = np.asarray(
+        resize_2d(jnp.asarray(raw.astype(np.float32) / 255.0), (56, 56), "bicubic")
+    )
+    host = (host - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(np.asarray(out), host, atol=1e-5)
+
+
+def test_pseudo_label_cli(tmp_path):
+    from distill_any_depth_tpu import configs
+    from distill_any_depth_tpu.cli import pseudo_label
+
+    configs.MODELS["tiny-pl"] = tiny_model_cfg("tiny-pl")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                    rng.randint(0, 255, (60, 80, 3), np.uint8))
+
+    args = pseudo_label.argument_parser().parse_args(
+        [
+            "--arch_name", "tiny-pl",
+            "--input", str(img_dir),
+            "--output_dir", str(tmp_path / "out"),
+            "--processing_res", "50",  # snaps to 196? no -> bucket 196 is slow;
+            "--batch_size", "2",
+            "--dtype", "float32",
+            "--save_png16",
+        ]
+    )
+    written = pseudo_label.main(args)
+    assert len(written) == 3
+    d = np.load(written[0])
+    assert d.ndim == 2 and np.isfinite(d).all() and d.min() >= 0
+    pngs = [p for p in os.listdir(tmp_path / "out") if p.endswith(".png")]
+    assert len(pngs) == 3
+    png = cv2.imread(str(tmp_path / "out" / pngs[0]), cv2.IMREAD_UNCHANGED)
+    assert png.dtype == np.uint16
+
+
+def test_train_images_path(tmp_path):
+    from distill_any_depth_tpu import configs
+    from distill_any_depth_tpu.train.loop import train_images
+
+    configs.MODELS["tiny-ti-s"] = tiny_model_cfg("tiny-ti-s")
+    configs.MODELS["tiny-ti-t"] = tiny_model_cfg("tiny-ti-t")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                    rng.randint(0, 255, (80, 100, 3), np.uint8))
+
+    cfg = TrainConfig(
+        student=configs.MODELS["tiny-ti-s"],
+        teachers=("tiny-ti-t",),
+        loss=LossConfig(use_hdn=False),
+        optimizer=OptimizerConfig(total_steps=4),
+        batch_size=2, image_size=56, num_epochs=1, val_split=0.0,
+        checkpoint_interval=0, log_interval=10, visualize_interval=0,
+        output_dir=str(tmp_path / "out"), dataset_dir=str(img_dir),
+    )
+    hist = train_images(cfg, min_local_crop=28)
+    assert len(hist["train_loss"]) == 1
+    assert np.isfinite(hist["train_loss"][0])
+    # global view differs from local view -> LG loss is non-trivial here
+    assert os.path.exists(tmp_path / "out" / "student_final.safetensors")
