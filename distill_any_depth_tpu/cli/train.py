@@ -44,6 +44,14 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--early_stopping", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--teacher_dtype", default="bfloat16")
+    p.add_argument("--data_mode", default="nyu", choices=["nyu", "images"],
+                   help="'nyu' CSV pairs or 'images' unlabeled-folder "
+                        "global/local-crop distillation")
+    p.add_argument("--resume", default=None,
+                   help="orbax train_state directory to resume from")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of early steps")
+    p.add_argument("--visualize_interval", type=int, default=500)
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -55,7 +63,7 @@ def main(args=None) -> dict:
         TrainConfig,
         model_config,
     )
-    from distill_any_depth_tpu.train.loop import train_nyu
+    from distill_any_depth_tpu.train.loop import train_images, train_nyu
 
     if args is None:
         args = argument_parser().parse_args()
@@ -94,12 +102,20 @@ def main(args=None) -> dict:
         val_split=args.val_split,
         checkpoint_interval=args.checkpoint_interval,
         log_interval=args.log_interval,
+        visualize_interval=args.visualize_interval,
         early_stopping=args.early_stopping,
         output_dir=args.output_dir,
         dataset_dir=args.dataset_dir,
         teacher_dtype=args.teacher_dtype,
     )
-    return train_nyu(cfg)
+    kwargs = {}
+    if args.resume:
+        kwargs["resume"] = args.resume
+    if args.profile_dir:
+        kwargs["profile_dir"] = args.profile_dir
+    if args.data_mode == "images":
+        return train_images(cfg, **kwargs)
+    return train_nyu(cfg, **kwargs)
 
 
 if __name__ == "__main__":

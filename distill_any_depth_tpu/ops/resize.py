@@ -31,8 +31,18 @@ import jax.numpy as jnp
 import numpy as np
 
 # Resize matmuls are tiny relative to the model but feed parity-sensitive
-# paths (pos-embeds, depth upsampling); run them in full fp32 on the MXU.
+# paths (pos-embeds, depth upsampling). fp32 inputs run at HIGHEST precision
+# (bit-matching torch); bf16 inputs take the fast single-pass MXU path —
+# the data is already quantized to bf16, so extra fp32 passes buy nothing.
 _PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _precision_for(dtype) -> jax.lax.Precision:
+    return (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(dtype) == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
 
 __all__ = [
     "resize_matrix",
@@ -134,8 +144,9 @@ def resize_2d(
     sh, sw = scale if scale is not None else (None, None)
     mh = jnp.asarray(resize_matrix(h, oh, method, align_corners, sh), dtype=x.dtype)
     mw = jnp.asarray(resize_matrix(w, ow, method, align_corners, sw), dtype=x.dtype)
-    y = jnp.einsum("Hh,...hwc->...Hwc", mh, x, precision=_PRECISION)
-    y = jnp.einsum("Ww,...hwc->...hWc", mw, y, precision=_PRECISION)
+    prec = _precision_for(x.dtype)
+    y = jnp.einsum("Hh,...hwc->...Hwc", mh, x, precision=prec)
+    y = jnp.einsum("Ww,...hwc->...hWc", mw, y, precision=prec)
     return y
 
 
@@ -154,7 +165,7 @@ def resize_1d(
         resize_matrix(in_size, out_size, method, align_corners), dtype=x.dtype
     )
     x_moved = jnp.moveaxis(x, axis, -1)
-    y = jnp.einsum("Oi,...i->...O", m, x_moved, precision=_PRECISION)
+    y = jnp.einsum("Oi,...i->...O", m, x_moved, precision=_precision_for(x.dtype))
     return jnp.moveaxis(y, -1, axis)
 
 

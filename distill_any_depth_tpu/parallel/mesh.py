@@ -24,6 +24,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated",
+    "replicate",
     "shard_batch",
     "host_local_batch_size",
 ]
@@ -48,6 +49,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """device_put every leaf fully replicated over the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:

@@ -86,6 +86,8 @@ class Trainer:
         train_batches: Callable[[int], Iterable[dict]],
         val_batches: Callable[[], Iterable[dict]] | None = None,
         max_steps: int | None = None,
+        profile_dir: str | None = None,
+        profile_steps: int = 3,
     ) -> dict:
         """Train. ``train_batches(epoch)`` yields dicts with 'image' (and
         optionally 'global_image'/'local_image'). Returns a history dict."""
@@ -99,6 +101,11 @@ class Trainer:
         step = int(self.state.step)
         max_steps = max_steps or (cfg.num_iterations or None)
         timer = StepTimer()
+        profiling = False
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+        profile_until = step + profile_steps
 
         try:
             for epoch in range(cfg.num_epochs):
@@ -114,6 +121,10 @@ class Trainer:
                     nbatches += 1
                     timer.tick(g.shape[0])
                     history["lr"].append(float(self.lr_schedule(step)))
+                    if profiling and step >= profile_until:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logger.info("profiler trace written to %s", profile_dir)
 
                     if step % cfg.log_interval == 0 or step == 1:
                         comp = {
@@ -160,6 +171,12 @@ class Trainer:
             )
             logger.exception("training failed; emergency checkpoint written")
             raise
+        finally:
+            if profiling:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
 
         ckpt_io.save_safetensors(
             os.path.join(cfg.output_dir, "student_final.safetensors"),
@@ -233,7 +250,12 @@ def _views(batch: dict):
     return img, img
 
 
-def train_nyu(cfg: TrainConfig, root_dir: str | None = None) -> dict:
+def train_nyu(
+    cfg: TrainConfig,
+    root_dir: str | None = None,
+    resume: str | None = None,
+    profile_dir: str | None = None,
+) -> dict:
     """End-to-end NYU distillation run (reference train(), :1148).
 
     Prefers the native C++ prefetching loader; falls back to the Python
@@ -241,7 +263,7 @@ def train_nyu(cfg: TrainConfig, root_dir: str | None = None) -> dict:
     """
     if cfg.use_native_loader:
         try:
-            return _train_nyu_native(cfg, root_dir)
+            return _train_nyu_native(cfg, root_dir, resume, profile_dir)
         except Exception:
             logger.exception("native loader path failed; using Python loader")
 
@@ -256,6 +278,8 @@ def train_nyu(cfg: TrainConfig, root_dir: str | None = None) -> dict:
     val_idx, train_idx = indices[:n_val], indices[n_val:]
 
     trainer = Trainer(cfg)
+    if resume:
+        trainer.resume(resume)
     return trainer.run(
         train_batches=lambda epoch: iterate_batches(
             ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, indices=train_idx
@@ -266,11 +290,13 @@ def train_nyu(cfg: TrainConfig, root_dir: str | None = None) -> dict:
             else None
         ),
         max_steps=cfg.num_iterations or None,
+        profile_dir=profile_dir,
     )
 
 
 def train_images(cfg: TrainConfig, image_dir: str | None = None,
-                 min_local_crop: int = 384) -> dict:
+                 min_local_crop: int = 384, resume: str | None = None,
+                 profile_dir: str | None = None) -> dict:
     """Paper-style distillation on an unlabeled image folder: global view +
     random local crop per image (the intended behavior of the reference's
     truncated non-NYU branch, train_distillation.py:1576-1582, with the
@@ -304,14 +330,22 @@ def train_images(cfg: TrainConfig, image_dir: str | None = None,
             }
 
     trainer = Trainer(cfg)
+    if resume:
+        trainer.resume(resume)
     return trainer.run(
         train_batches=lambda epoch: batches(train_idx, cfg.seed + epoch),
         val_batches=(lambda: batches(val_idx)) if n_val >= cfg.batch_size else None,
         max_steps=cfg.num_iterations or None,
+        profile_dir=profile_dir,
     )
 
 
-def _train_nyu_native(cfg: TrainConfig, root_dir: str | None) -> dict:
+def _train_nyu_native(
+    cfg: TrainConfig,
+    root_dir: str | None,
+    resume: str | None = None,
+    profile_dir: str | None = None,
+) -> dict:
     from distill_any_depth_tpu.data import native_loader
 
     if not native_loader.available():
@@ -359,11 +393,14 @@ def _train_nyu_native(cfg: TrainConfig, root_dir: str | None) -> dict:
         len(train_loader), steps_per_epoch, val_steps,
     )
     trainer = Trainer(cfg)
+    if resume:
+        trainer.resume(resume)
     try:
         return trainer.run(
             train_batches=lambda epoch: train_loader.batches(steps_per_epoch),
             val_batches=(lambda: val_loader.batches(val_steps)) if val_loader else None,
             max_steps=cfg.num_iterations or None,
+            profile_dir=profile_dir,
         )
     finally:
         train_loader.close()

@@ -109,13 +109,16 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
 
-    from distill_any_depth_tpu.parallel.mesh import batch_sharding, replicated
+    from distill_any_depth_tpu.parallel.mesh import batch_sharding
 
-    rep, data = replicated(mesh), batch_sharding(mesh)
+    # Batch axes are pinned to the data axis; state/teacher shardings are
+    # inferred from the committed arguments, so callers choose replication
+    # (parallel.mesh.replicate) or tensor parallelism (parallel.tp) by how
+    # they device_put the params.
+    data = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(rep, rep, data, data),
-        out_shardings=(rep, rep),
+        in_shardings=(None, None, data, data),
         donate_argnums=(0,),
     )
 

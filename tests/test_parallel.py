@@ -82,17 +82,66 @@ def test_dp_gradients_match_single_device(mesh):
 
 
 def test_dp_train_step_runs(mesh):
+    from distill_any_depth_tpu.parallel.mesh import replicate
+
     student, teacher, sp, tp, opt = _setup()
     loss_cfg = LossConfig(use_hdn=False)
     s_apply = lambda p, x: student.apply({"params": p}, x)  # noqa: E731
     t_apply = lambda p, x: teacher.apply({"params": p}, x)  # noqa: E731
-    state, tx = create_train_state(jax.tree_util.tree_map(jnp.array, sp), opt)
+    state, tx = create_train_state(replicate(mesh, sp), opt)
     step = make_train_step(s_apply, [t_apply], tx, loss_cfg, seed=0, mesh=mesh)
     x = shard_batch(mesh, _batch(bs=8, size=56, seed=3))
-    state, m1 = step(state, (tp,), x, x)
-    state, m2 = step(state, (tp,), x, x)
+    tp_rep = replicate(mesh, tp)
+    state, m1 = step(state, (tp_rep,), x, x)
+    state, m2 = step(state, (tp_rep,), x, x)
     assert int(state.step) == 2
     assert float(m2["total"]) < float(m1["total"])
+
+
+def test_tp_dp_gradients_match_single_device(mesh):
+    """Tensor parallelism (model axis) composed with DP reproduces
+    single-device loss/gradients."""
+    from distill_any_depth_tpu.parallel.mesh import make_mesh, replicate
+    from distill_any_depth_tpu.parallel.tp import shard_params, tp_param_specs
+    from distill_any_depth_tpu.losses.distill import combined_distillation_loss
+    from jax.sharding import PartitionSpec as P
+
+    mesh2 = make_mesh(dp=4, model=2)
+    student, teacher, sp, tp, opt = _setup()
+    loss_cfg = LossConfig(use_hdn=False)
+
+    # sanity: the spec tree actually shards attention/mlp kernels
+    specs = tp_param_specs(sp)
+    flat = {
+        jax.tree_util.keystr(p): s
+        for p, s in jax.tree_util.tree_leaves_with_path(
+            specs, is_leaf=lambda x: isinstance(x, P)
+        )
+    }
+    assert any(s == P(None, "model") for s in flat.values())
+    assert any(s == P("model", None) for s in flat.values())
+
+    def loss_fn(p, tparams, x):
+        sg, _ = student.apply({"params": p}, x)
+        sl, sf = student.apply({"params": p}, x)
+        td, tf = teacher.apply({"params": tparams}, x)
+        td, tf = jax.lax.stop_gradient(td), jax.lax.stop_gradient(tf)
+        total, _ = combined_distillation_loss(loss_cfg, sg, sl, sf, td, tf)
+        return total
+
+    x = _batch(bs=8, size=56, seed=3)
+    g_single = jax.jit(jax.value_and_grad(loss_fn))(sp, tp, x)
+
+    sp_tp = shard_params(mesh2, sp)
+    tp_rep = replicate(mesh2, tp)
+    xb = shard_batch(mesh2, x)
+    g_tp = jax.jit(jax.value_and_grad(loss_fn))(sp_tp, tp_rep, xb)
+
+    np.testing.assert_allclose(float(g_tp[0]), float(g_single[0]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_tp[1]),
+                    jax.tree_util.tree_leaves(g_single[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)
 
 
 def test_batch_is_actually_sharded(mesh):
