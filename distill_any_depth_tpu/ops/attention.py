@@ -23,7 +23,9 @@ import jax.numpy as jnp
 __all__ = ["multi_head_attention"]
 
 # Below this token count the einsum path beats the kernel-launch overhead.
-_FLASH_MIN_SEQ = 1024
+# With the multi-head-per-program tiling the kernel wins from ~512 tokens
+# (measured 385 us vs 550 us einsum at N=785, B8 H12 D64 bf16 on v5e).
+_FLASH_MIN_SEQ = 512
 
 
 def mha_reference(

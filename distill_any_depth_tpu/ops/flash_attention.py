@@ -44,36 +44,67 @@ except Exception:  # pragma: no cover
 
 __all__ = ["mha_flash"]
 
-_Q_BLOCK = 256
 _LANE = 128
+# per-program VMEM budget: ~16 MB on v5e, keep headroom for Mosaic's own
+# stack allocations
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int, scale: float,
-                 bias_ref=None):
-    q = q_ref[0]  # [Bq, D]
-    k = k_ref[0]  # [Nk, D]
-    v = v_ref[0]  # [Nk, D]
-    scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [Bq, Nk] fp32
-    if bias_ref is not None:
-        scores = scores + bias_ref[0].astype(jnp.float32)
-    nk = scores.shape[-1]
-    if nk > n_real:  # mask padded key columns
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < n_real, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        probs, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(q.dtype)
+def _pick_tiling(
+    bh: int, n_pad: int, d: int, itemsize: int, with_bias: bool
+) -> tuple[int, int]:
+    """Choose (heads_per_program, q_block).
+
+    Measured on v5e (B8 N785 H12 D64): bf16 multi-head tilings run 355-398 us
+    vs 523 us for 1-head/256-q-block — packing heads amortizes K/V loads and
+    grid overhead. Mosaic keeps each unrolled head's fp32 score/softmax
+    temporaries live on the kernel stack, so fp32 inputs (parity/testing
+    path) stay single-head: multi-head fp32 OOMs scoped VMEM in practice
+    even when a naive estimate fits.
+    """
+    if itemsize >= 4:
+        return 1, min(256, n_pad)
+    budget = _VMEM_BUDGET_BYTES // (2 if with_bias else 1)
+    for hp in (8, 4, 2, 1):
+        if bh % hp:
+            continue
+        q_block = n_pad
+        # scores dominate: hp * q_block * n_pad fp32 (+ bias tile if present)
+        while q_block > _LANE and hp * q_block * n_pad * 4 > budget:
+            q_block //= 2  # n_pad is a multiple of 128, halves stay 8-aligned
+        q_block = max(q_block, _LANE)
+        if hp * q_block * n_pad * 4 <= budget:
+            return hp, q_block
+    return 1, _LANE
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, hp: int, n_real: int,
+                 scale: float, bias_ref=None):
+    for h in range(hp):  # static unroll over the packed heads
+        q = q_ref[h]  # [Bq, D]
+        k = k_ref[h]  # [Nk, D]
+        v = v_ref[h]  # [Nk, D]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Bq, Nk] fp32
+        if bias_ref is not None:
+            scores = scores + bias_ref[h].astype(jnp.float32)
+        nk = scores.shape[-1]
+        if nk > n_real:  # mask padded key columns
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < n_real, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        o_ref[h] = jax.lax.dot_general(
+            probs, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
 
 
 def _flash_fwd_impl(q, k, v, bias, interpret: bool):
@@ -81,7 +112,7 @@ def _flash_fwd_impl(q, k, v, bias, interpret: bool):
     bh, n, d = q.shape
     scale = d ** -0.5
     n_pad = _round_up(n, _LANE)
-    q_block = min(_Q_BLOCK, n_pad)
+    hp, q_block = _pick_tiling(bh, n_pad, d, q.dtype.itemsize, bias is not None)
     nq_pad = _round_up(n, q_block)
 
     def pad(x, target_n):
@@ -91,36 +122,38 @@ def _flash_fwd_impl(q, k, v, bias, interpret: bool):
 
     qp, kp, vp = pad(q, nq_pad), pad(k, n_pad), pad(v, n_pad)
 
-    grid = (bh, nq_pad // q_block)
+    grid = (bh // hp, nq_pad // q_block)
     in_specs = [
-        pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
-        pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((hp, q_block, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((hp, n_pad, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((hp, n_pad, d), lambda b, i: (b, 0, 0)),
     ]
     args = [qp, kp, vp]
     if bias is not None:
-        bias_p = jnp.pad(
-            bias, ((0, 0), (0, nq_pad - n), (0, n_pad - n))
+        bias_p = jnp.pad(bias, ((0, 0), (0, nq_pad - n), (0, n_pad - n)))
+        in_specs.append(
+            pl.BlockSpec((hp, q_block, n_pad), lambda b, i: (b, i, 0))
         )
-        in_specs.append(pl.BlockSpec((1, q_block, n_pad), lambda b, i: (b, i, 0)))
         args.append(bias_p)
-        kernel = functools.partial(_bias_kernel_adapter, n_real=n, scale=scale)
+        kernel = functools.partial(
+            _bias_kernel_adapter, hp=hp, n_real=n, scale=scale
+        )
     else:
-        kernel = functools.partial(_attn_kernel, n_real=n, scale=scale)
+        kernel = functools.partial(_attn_kernel, hp=hp, n_real=n, scale=scale)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((hp, q_block, d), lambda b, i: (b, i, 0)),
         interpret=interpret,
     )(*args)
     return out[:, :n]
 
 
-def _bias_kernel_adapter(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_real, scale):
-    _attn_kernel(q_ref, k_ref, v_ref, o_ref, n_real=n_real, scale=scale,
+def _bias_kernel_adapter(q_ref, k_ref, v_ref, bias_ref, o_ref, *, hp, n_real, scale):
+    _attn_kernel(q_ref, k_ref, v_ref, o_ref, hp=hp, n_real=n_real, scale=scale,
                  bias_ref=bias_ref)
 
 

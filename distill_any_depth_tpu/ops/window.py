@@ -17,7 +17,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["local_window_bias"]
+__all__ = ["local_window_bias", "segment_bias"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -42,3 +42,16 @@ def local_window_bias(
     """Additive ``[N, N]`` attention bias (N = n_prefix + gh*gw) restricting
     patch-token attention to a ``window x window`` neighbourhood."""
     return jnp.asarray(_bias_np(gh, gw, window, n_prefix))
+
+
+def segment_bias(segment_ids: jnp.ndarray) -> jnp.ndarray:
+    """Block-diagonal additive bias from per-token segment ids.
+
+    The TPU equivalent of xformers ``BlockDiagonalMask`` nested-tensor
+    batching (reference block.py:154-243): multiple variable-length
+    sequences packed along one token axis attend only within their own
+    segment. ``segment_ids``: int ``[N]`` -> bias ``[N, N]`` (0 within a
+    segment, -inf across).
+    """
+    same = segment_ids[:, None] == segment_ids[None, :]
+    return jnp.where(same, 0.0, -jnp.inf).astype(jnp.float32)

@@ -42,6 +42,10 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
+        if mesh is None and cfg.dp > 1:
+            from distill_any_depth_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=cfg.dp)
         self.mesh = mesh
         student_dtype = jnp.dtype(cfg.student_compute_dtype)
         teacher_dtype = jnp.dtype(cfg.teacher_dtype)
@@ -63,6 +67,14 @@ class Trainer:
             self.teachers.append(model)
             self.teacher_params.append(params)
 
+        if self.mesh is not None:
+            from distill_any_depth_tpu.parallel.mesh import replicate
+
+            self.student_params = replicate(self.mesh, self.student_params)
+            self.teacher_params = [
+                replicate(self.mesh, p) for p in self.teacher_params
+            ]
+
         opt = cfg.optimizer
         self.state, self.tx = create_train_state(self.student_params, opt)
         self.lr_schedule = make_lr_schedule(opt)
@@ -73,7 +85,8 @@ class Trainer:
             for m in self.teachers
         ]
         self.train_step = make_train_step(
-            student_apply, teacher_applies, self.tx, cfg.loss, seed=cfg.seed
+            student_apply, teacher_applies, self.tx, cfg.loss, seed=cfg.seed,
+            mesh=self.mesh,
         )
         self.eval_loss = make_eval_loss_fn(
             student_apply, teacher_applies, cfg.loss, seed=cfg.seed + 1
@@ -113,7 +126,7 @@ class Trainer:
                 for batch in train_batches(epoch):
                     if max_steps and step >= max_steps:
                         break
-                    g, l = _views(batch)
+                    g, l = _views(batch, self.mesh)
                     self.state, metrics = self.train_step(self.state, tp, g, l)
                     step += 1
                     loss = float(metrics["total"])
@@ -219,7 +232,7 @@ class Trainer:
         sums: dict[str, float] = {}
         n = 0
         for i, batch in enumerate(batches):
-            g, l = _views(batch)
+            g, l = _views(batch, self.mesh)
             comps = self.eval_loss(
                 self.state.params, tuple(self.teacher_params), jnp.int32(i), g, l
             )
@@ -241,13 +254,21 @@ class Trainer:
             self.state = TrainState(*self.state)
 
 
-def _views(batch: dict):
+def _views(batch: dict, mesh=None):
     """Global/local views: NYU batches use the same image for both
-    (reference :1493-1494); image-folder batches carry both."""
+    (reference :1493-1494); image-folder batches carry both. With a mesh the
+    batch axis is sharded over ``data``."""
     if "global_image" in batch:
-        return jnp.asarray(batch["global_image"]), jnp.asarray(batch["local_image"])
-    img = jnp.asarray(batch["image"])
-    return img, img
+        g = jnp.asarray(batch["global_image"])
+        l = jnp.asarray(batch["local_image"])
+    else:
+        g = l = jnp.asarray(batch["image"])
+    if mesh is not None:
+        from distill_any_depth_tpu.parallel.mesh import shard_batch
+
+        g = shard_batch(mesh, g)
+        l = g if l is g else shard_batch(mesh, l)
+    return g, l
 
 
 def train_nyu(

@@ -156,6 +156,25 @@ def load_reference_demo():
     return mod
 
 
+def load_reference_eval_module():
+    """Reference tools/evaluate.py (compute_depth_metrics oracle). Its model
+    imports are broken in the reference itself (nonexistent depth_anything
+    package, SURVEY.md §2.1) — stubbed so the metric functions import."""
+    _ensure_paths()
+    _install_stubs()
+    _stub("depth_anything")
+    _stub("depth_anything.dpt", DepthAnything=object, DepthAnythingV2=object)
+    _stub("tqdm", tqdm=lambda x, **k: x)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "reference_evaluate", os.path.join(REFERENCE_ROOT, "tools", "evaluate.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_train_module():
     """Reference tools/train_distillation.py (losses + normalization)."""
     _ensure_paths()

@@ -55,3 +55,32 @@ def test_flash_bf16():
     out = mha_flash(q, k, v, interpret=True)
     err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
     assert err < 0.05, err
+
+
+def test_segment_bias_blocks_cross_attention():
+    """Packed variable-length sequences: tokens attend only within their
+    segment, matching separate per-sequence attention."""
+    from distill_any_depth_tpu.ops.window import segment_bias
+
+    rng = np.random.RandomState(3)
+    n1, n2, h, d = 5, 7, 2, 16
+    q1, k1, v1 = (jnp.asarray(rng.randn(1, n1, h, d).astype(np.float32)) for _ in range(3))
+    q2, k2, v2 = (jnp.asarray(rng.randn(1, n2, h, d).astype(np.float32)) for _ in range(3))
+
+    packed = lambda a, b: jnp.concatenate([a, b], axis=1)  # noqa: E731
+    seg = jnp.asarray([0] * n1 + [1] * n2)
+    bias = segment_bias(seg)
+    out = mha_reference(packed(q1, q2), packed(k1, k2), packed(v1, v2),
+                        bias=bias[None, None])
+    ref1 = mha_reference(q1, k1, v1)
+    ref2 = mha_reference(q2, k2, v2)
+    np.testing.assert_allclose(np.asarray(out[:, :n1]), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[:, n1:]), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+
+    # same through the Pallas kernel
+    out_fl = mha_flash(packed(q1, q2), packed(k1, k2), packed(v1, v2),
+                       bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)

@@ -66,3 +66,27 @@ def test_empty_mask_sample_flagged_invalid():
 def test_compute_depth_metrics_empty():
     m = compute_depth_metrics(np.ones((4, 4)), np.zeros((4, 4)))
     assert all(np.isnan(v) for v in m.values())
+
+
+def test_metrics_match_reference_module():
+    """Direct oracle check against the reference compute_depth_metrics
+    (tools/evaluate.py:71-114) and its mean-ratio alignment (:135-144)."""
+    from reference_loader import reference_available, load_reference_eval_module
+
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    ref = load_reference_eval_module()
+
+    rng = np.random.RandomState(7)
+    pred = rng.rand(2, 20, 20).astype(np.float32) + 0.05
+    gt = rng.rand(2, 20, 20).astype(np.float32)
+    gt[gt < 0.2] = 0.0
+
+    batched, valid = batched_depth_metrics(pred, gt)
+    for i in range(2):
+        mask = gt[i] > 0
+        p = pred[i] * (gt[i][mask].mean() / pred[i][mask].mean())
+        ref_m = ref.compute_depth_metrics(p, gt[i], mask)
+        for k in METRIC_KEYS:
+            np.testing.assert_allclose(batched[k][i], ref_m[k], rtol=1e-4,
+                                       err_msg=f"{k}[{i}]")

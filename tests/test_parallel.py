@@ -151,3 +151,31 @@ def test_batch_is_actually_sharded(mesh):
     # each device holds 1/8 of the batch
     shard_shapes = {s.data.shape for s in xs.addressable_shards}
     assert shard_shapes == {(1, 56, 56, 3)}
+
+
+def test_trainer_with_dp_mesh(mesh, tmp_path):
+    """Trainer end-to-end on the virtual mesh via cfg.dp."""
+    import dataclasses
+    from distill_any_depth_tpu import configs
+    from distill_any_depth_tpu.configs import LossConfig, OptimizerConfig, TrainConfig
+    from distill_any_depth_tpu.train.loop import Trainer
+
+    configs.MODELS.setdefault("tiny-dp-s", tiny_model_cfg("tiny-dp-s"))
+    configs.MODELS.setdefault("tiny-dp-t", tiny_model_cfg("tiny-dp-t"))
+    cfg = TrainConfig(
+        student=configs.MODELS["tiny-dp-s"], teachers=("tiny-dp-t",),
+        loss=LossConfig(use_hdn=False),
+        optimizer=OptimizerConfig(total_steps=4),
+        batch_size=8, image_size=56, num_epochs=1, val_split=0.0,
+        checkpoint_interval=0, log_interval=10, visualize_interval=0,
+        output_dir=str(tmp_path), dp=8,
+    )
+    trainer = Trainer(cfg)
+    assert trainer.mesh is not None and trainer.mesh.shape["data"] == 8
+
+    def batches(epoch):
+        for seed in range(2):
+            yield {"image": np.asarray(_batch(bs=8, size=56, seed=seed))}
+
+    hist = trainer.run(batches, max_steps=2)
+    assert np.isfinite(hist["train_loss"][0])
