@@ -178,6 +178,10 @@ class TrainConfig:
     # host IO: prefer the C++ threaded loader (native/dad_loader.cpp) when
     # buildable; falls back to the Python loader otherwise
     use_native_loader: bool = True
+    # rematerialize student blocks in the backward pass (trade FLOPs for
+    # HBM — enables larger batches / resolutions)
+    student_remat: bool = False
+    attn_impl: str = "auto"  # auto | reference | flash
 
 
 def model_config(arch_name: str) -> ModelConfig:

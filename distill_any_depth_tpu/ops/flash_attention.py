@@ -167,6 +167,100 @@ def _reference_attention(q, k, v, bias):
     return jnp.einsum("bnm,bmd->bnd", probs, v)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                n_real: int, scale: float):
+    """Blockwise attention backward: recomputes this q-tile's probabilities
+    and accumulates dk/dv across the (sequential) q-grid dimension — no
+    [N, N] logits ever reach HBM."""
+    i = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if s.shape[-1] > n_real:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)  # fp32 [Bq, Nk]
+
+    dof = do.astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        dof, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, Nk]
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale  # [Bq, Nk] fp32
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds.astype(q.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Nk, D] fp32
+    dv_ref[0] += jax.lax.dot_general(
+        p, dof,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Nk, D] fp32
+
+
+def _flash_bwd_impl(q, k, v, dout, interpret: bool):
+    bh, n, d = q.shape
+    scale = d ** -0.5
+    n_pad = _round_up(n, _LANE)
+    q_block = min(256, n_pad)
+    nq_pad = _round_up(n, q_block)
+
+    def pad(x, target_n):
+        if x.shape[1] == target_n:
+            return x
+        return jnp.pad(x, ((0, 0), (0, target_n - x.shape[1]), (0, 0)))
+
+    qp, kp, vp, dop = pad(q, nq_pad), pad(k, n_pad), pad(v, n_pad), pad(dout, nq_pad)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_real=n, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
+        ),
+        grid=(bh, nq_pad // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop)
+    return (
+        dq[:, :n],
+        dk[:, :n].astype(k.dtype),
+        dv[:, :n].astype(v.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash(q, k, v, bias, interpret):
     return _flash_fwd_impl(q, k, v, bias, interpret)
@@ -178,14 +272,21 @@ def _flash_fwd(q, k, v, bias, interpret):
 
 def _flash_bwd(interpret, residuals, g):
     q, k, v, bias = residuals
-    # Recompute-based backward (einsum): correct and HBM-feasible at the
-    # sequence lengths this model family uses.
+    if bias is None:
+        # Blockwise Pallas backward: recompute per q-tile, accumulate dk/dv
+        # over the sequential grid. Keeps the [BH, N, N] logits out of HBM
+        # (at ViT-B 392^2 bs16 the einsum backward's two fp32 logits buffers
+        # alone are >1 GB and OOM'd the chip).
+        return (*_flash_bwd_impl(q, k, v, g, interpret), None)
+
+    # Bias path (window masks / packed segments): einsum recompute. The bias
+    # here is a constant mask, but vjp handles the general case.
     def f(q, k, v, bias):
         return _reference_attention(q, k, v, bias)
 
     _, vjp = jax.vjp(f, q, k, v, bias)
     dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias if bias is not None else None
+    return dq, dk, dv, dbias
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

@@ -50,14 +50,17 @@ class Trainer:
         student_dtype = jnp.dtype(cfg.student_compute_dtype)
         teacher_dtype = jnp.dtype(cfg.teacher_dtype)
 
-        self.student = create_model(cfg.student, dtype=student_dtype)
+        self.student = create_model(
+            cfg.student, dtype=student_dtype, attn_impl=cfg.attn_impl,
+            remat=cfg.student_remat,
+        )
         self.student_params = init_params(self.student, cfg.seed, cfg.image_size)
 
         self.teachers = []
         self.teacher_params = []
         for i, name in enumerate(cfg.teachers):
             tcfg = model_config(name)
-            model = create_model(tcfg, dtype=teacher_dtype)
+            model = create_model(tcfg, dtype=teacher_dtype, attn_impl=cfg.attn_impl)
             if i < len(cfg.teacher_checkpoints) and cfg.teacher_checkpoints[i]:
                 params = ckpt_io.load_safetensors(cfg.teacher_checkpoints[i], tcfg)
                 params = jax.tree_util.tree_map(jnp.asarray, params)

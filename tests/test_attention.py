@@ -84,3 +84,20 @@ def test_segment_bias_blocks_cross_attention():
                        bias=bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_flash_backward_multiblock_accumulation():
+    """n > q_block exercises dk/dv accumulation across the q grid."""
+    q, k, v = _qkv(n=300, b=1, h=2, seed=5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(mha_flash(q, k, v, interpret=True) * jnp.cos(q))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) * jnp.cos(q))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=f"d{name}")

@@ -47,3 +47,19 @@ def test_bf16_compute_close_to_fp32():
 def test_unknown_arch_raises():
     with pytest.raises(KeyError):
         model_config("depthanything-mega")
+
+
+def test_remat_model_matches_plain():
+    cfg = MODELS["depthanything-small"]
+    plain = create_model(cfg)
+    remat = create_model(cfg, remat=True)
+    params = init_params(plain, 0, image_size=98)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 98, 98, 3), jnp.float32)
+    d1, _ = plain.apply({"params": params}, x)
+    d2, _ = remat.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=5e-6)
+
+    # gradients flow through the remat model
+    g = jax.grad(lambda p: jnp.mean(remat.apply({"params": p}, x)[0] ** 2))(params)
+    gn = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
