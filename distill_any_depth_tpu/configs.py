@@ -149,6 +149,8 @@ class OptimizerConfig:
     gamma: float = 0.1
     eta_min_ratio: float = 0.01
     max_grad_norm: float = 1.0
+    # skip (not apply) updates when gradients contain NaN/inf
+    skip_nonfinite_updates: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,7 +64,7 @@ def _lib():
         lib.dad_loader_create.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint,
+            ctypes.c_uint, ctypes.c_int, ctypes.c_int,
         ]
         lib.dad_loader_num_samples.restype = ctypes.c_long
         lib.dad_loader_num_samples.argtypes = [ctypes.c_void_p]
@@ -97,6 +97,8 @@ class NativeNYULoader:
         queue_capacity: int = 64,
         shuffle: bool = True,
         seed: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
         lib = _lib()
         if lib is None:
@@ -107,7 +109,7 @@ class NativeNYULoader:
         self._handle = lib.dad_loader_create(
             csv_path.encode(), root_dir.encode(), image_size,
             int(normalize), int(raw_255), num_threads, queue_capacity,
-            int(shuffle), seed,
+            int(shuffle), seed, shard_index, num_shards,
         )
         if not self._handle:
             raise FileNotFoundError(f"no samples loadable from {csv_path}")

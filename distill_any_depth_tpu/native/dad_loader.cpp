@@ -44,7 +44,7 @@ class Loader {
  public:
   Loader(const std::string& csv_path, const std::string& root, int image_size,
          bool normalize, bool raw_255, int num_threads, int queue_capacity,
-         bool shuffle, unsigned seed)
+         bool shuffle, unsigned seed, int shard_index, int num_shards)
       : size_(image_size),
         normalize_(normalize),
         raw_255_(raw_255),
@@ -53,8 +53,14 @@ class Loader {
         rng_(seed) {
     std::ifstream f(csv_path);
     std::string line;
+    long row = 0;
+    if (num_shards < 1) num_shards = 1;
     while (std::getline(f, line)) {
       if (line.empty()) continue;
+      // multi-host sharding: each process owns rows where
+      // row % num_shards == shard_index (host-sharded input pipeline)
+      bool mine = (row++ % num_shards) == shard_index;
+      if (!mine) continue;
       auto comma = line.find(',');
       if (comma == std::string::npos) continue;
       std::string rgb = line.substr(0, comma);
@@ -229,11 +235,13 @@ extern "C" {
 
 void* dad_loader_create(const char* csv_path, const char* root, int image_size,
                         int normalize, int raw_255, int num_threads,
-                        int queue_capacity, int shuffle, unsigned seed) {
+                        int queue_capacity, int shuffle, unsigned seed,
+                        int shard_index, int num_shards) {
   try {
     auto* l = new Loader(csv_path ? csv_path : "", root ? root : "",
                          image_size, normalize != 0, raw_255 != 0, num_threads,
-                         queue_capacity, shuffle != 0, seed);
+                         queue_capacity, shuffle != 0, seed, shard_index,
+                         num_shards);
     if (l->num_samples() == 0) {
       delete l;
       return nullptr;

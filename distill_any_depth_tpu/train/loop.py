@@ -249,6 +249,13 @@ class Trainer:
             self.cfg.output_dir, f"student_checkpoint_{step}.safetensors"
         )
         ckpt_io.save_safetensors(path, self.state.params, self.cfg.student)
+        # resumable full train state alongside the interop weights
+        try:
+            ckpt_io.save_train_state(
+                os.path.join(self.cfg.output_dir, "train_state"), self.state
+            )
+        except Exception:
+            logger.exception("periodic train_state save failed")
         logger.info("saved checkpoint %s", path)
 
     def resume(self, path: str) -> None:
@@ -399,9 +406,12 @@ def _train_nyu_native(
     with open(val_csv, "w") as f:
         f.write("\n".join(rows[:n_val]))
 
+    from distill_any_depth_tpu.parallel import launch
+
     train_loader = native_loader.NativeNYULoader(
         train_csv, root, image_size=cfg.image_size, batch_size=cfg.batch_size,
         shuffle=True, seed=cfg.seed,
+        shard_index=launch.process_index(), num_shards=launch.process_count(),
     )
     steps_per_epoch = max(len(train_loader) // cfg.batch_size, 1)
     val_loader = None

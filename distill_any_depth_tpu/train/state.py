@@ -64,7 +64,13 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
     chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     chain.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.skip_nonfinite_updates:
+        # NaN/inf gradients skip the update instead of poisoning the moments
+        # (failure containment the reference lacks — its only guards are
+        # inside the SSI loss, train_distillation.py:490,518).
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def create_train_state(params: Any, cfg: OptimizerConfig) -> tuple[TrainState, optax.GradientTransformation]:

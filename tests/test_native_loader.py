@@ -94,3 +94,17 @@ def test_native_missing_csv(tmp_path):
             str(tmp_path / "nope.csv"), str(tmp_path), image_size=56,
             batch_size=2,
         )
+
+
+def test_native_loader_sharding(nyu_tree):
+    """Multi-host row sharding: two shards partition the CSV."""
+    root, csv = nyu_tree
+    sizes = []
+    for idx in range(2):
+        ld = native_loader.NativeNYULoader(
+            csv, str(root), image_size=56, batch_size=1, num_threads=1,
+            shuffle=False, num_shards=2, shard_index=idx,
+        )
+        sizes.append(len(ld))
+        ld.close()
+    assert sum(sizes) == 6 and sizes == [3, 3]

@@ -187,3 +187,23 @@ def test_convert_checkpoint(tmp_path, tiny_setup):
     keys = st_numpy.load_file(dst).keys()
     assert any(k.startswith("backbone.") for k in keys)
     assert not any(k.startswith("pretrained.") for k in keys)
+
+
+def test_nonfinite_gradients_skip_update():
+    """apply_if_finite: a NaN gradient must not change params or poison
+    Adam moments."""
+    cfg = OptimizerConfig(lr=1e-2, warmup_steps=0, schedule="none",
+                          total_steps=10, skip_nonfinite_updates=True)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+
+    bad = {"w": jnp.asarray([1.0, jnp.nan, 2.0])}
+    updates, state = tx.update(bad, state, params)
+    new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    np.testing.assert_array_equal(np.asarray(new["w"]), np.asarray(params["w"]))
+
+    good = {"w": jnp.ones((3,))}
+    updates, state = tx.update(good, state, params)
+    new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
