@@ -70,6 +70,12 @@ def main(args=None) -> list[str]:
         if os.path.isdir(args.input)
         else [args.input]
     )
+    # multi-process runs shard the work; the reference ran the identical
+    # glob on every rank (tools/testers/infer.py:169)
+    from distill_any_depth_tpu.parallel import launch
+
+    if launch.process_count() > 1:
+        paths = paths[launch.process_index() :: launch.process_count()]
     out_dir = os.path.join(args.output_dir, "image_logs")
     os.makedirs(out_dir, exist_ok=True)
 

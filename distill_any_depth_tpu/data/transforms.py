@@ -101,6 +101,10 @@ class Resize:
         nw, nh = self.get_size(w, h)
         sample["image"] = cv2.resize(sample["image"], (nw, nh), interpolation=self.interp)
         if self.resize_target:
+            if "disparity" in sample:  # midas/transforms.py superset
+                sample["disparity"] = cv2.resize(
+                    sample["disparity"], (nw, nh), interpolation=cv2.INTER_NEAREST
+                )
             if "depth" in sample:
                 sample["depth"] = cv2.resize(
                     sample["depth"], (nw, nh), interpolation=cv2.INTER_NEAREST
@@ -130,10 +134,9 @@ class PrepareForNet:
 
     def __call__(self, sample: dict) -> dict:
         sample["image"] = np.ascontiguousarray(sample["image"], dtype=np.float32)
-        if "depth" in sample:
-            sample["depth"] = np.ascontiguousarray(sample["depth"], dtype=np.float32)
-        if "mask" in sample:
-            sample["mask"] = np.ascontiguousarray(sample["mask"], dtype=np.float32)
+        for key in ("depth", "disparity", "mask"):
+            if key in sample:
+                sample[key] = np.ascontiguousarray(sample[key], dtype=np.float32)
         return sample
 
 

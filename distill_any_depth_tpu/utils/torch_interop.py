@@ -78,7 +78,10 @@ def torch_to_params(
     rn = re.compile(r"^depth_head\.scratch\.refinenet(\d)\.(.+)$")
 
     for key, v in state.items():
-        v = np.asarray(v)
+        # copy: torch tensor.numpy() yields a VIEW of the tensor storage, so
+        # in-place optimizer updates on the source model would silently
+        # mutate the converted tree
+        v = np.array(v, copy=True)
         if key in ("pretrained.cls_token", "pretrained.pos_embed",
                    "pretrained.register_tokens"):
             _set(params, ("pretrained", key.split(".")[-1]), v)

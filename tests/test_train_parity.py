@@ -1,0 +1,139 @@
+"""End-to-end training-trajectory parity vs the PyTorch reference.
+
+The strongest contract (SURVEY.md §7 stage 4 exit test): starting from
+identical weights and identical batches, N full optimizer steps of this
+framework reproduce the reference's per-step loss components. The reference
+side reconstructs its batch-loop body (train_distillation.py:1486-1575) from
+the reference's own imported functions: two student forwards, teacher under
+no_grad, the 5-loss combine, clip_grad_norm_(1.0), torch Adam with L2 decay.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distill_any_depth_tpu.configs import LossConfig, MODELS, OptimizerConfig
+from distill_any_depth_tpu.models.factory import create_model
+from distill_any_depth_tpu.train.state import create_train_state
+from distill_any_depth_tpu.train.step import make_train_step
+from distill_any_depth_tpu.utils.torch_interop import torch_to_params
+
+from reference_loader import (
+    reference_available,
+    load_reference_student,
+    load_reference_train_module,
+)
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+STEPS = 3
+# hybrid normalization divides by near-zero per-segment MADs at random init,
+# chaotically amplifying fp-level forward differences; the trajectory test
+# uses global normalization (hybrid parity is pinned on fixed inputs in
+# test_loss_parity).
+NORM = "global"
+LR = 1e-3
+WD = 1e-5
+SIZE = 112
+BATCH = 2
+
+
+def _reference_trajectory(ref_student, ref_teacher, mod, batches):
+    opt = torch.optim.Adam(ref_student.parameters(), lr=LR, weight_decay=WD)
+    losses = []
+    for x in batches:
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        opt.zero_grad()
+        s_glob, _ = ref_student(xt)
+        s_loc, s_feat = ref_student(xt)
+        with torch.no_grad():
+            t_loc, t_feat = ref_teacher(xt)
+        sc = mod.distillation_loss(s_loc, t_loc, NORM)
+        lg = mod.distillation_loss(s_glob, s_loc, NORM)
+        feat = mod.feature_distillation_loss(s_feat, t_feat)
+        grad = mod.gradient_preservation_loss(s_loc)
+        ctx = mod.get_contexts_dr(3, t_loc, None)
+        hdn = mod.compute_hdn_loss(mod.SSILoss(), s_loc, t_loc, ctx)
+        total = 0.5 * sc + 0.5 * lg + 1.0 * feat + 0.2 * grad + 0.8 * hdn
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(ref_student.parameters(), 1.0)
+        opt.step()
+        losses.append(
+            {k: float(v) for k, v in
+             dict(sc=sc, lg=lg, feat=feat, grad=grad, hdn=hdn, total=total).items()}
+        )
+    return losses
+
+
+def test_training_trajectory_matches_reference():
+    torch.manual_seed(0)
+    DepthAnythingV2 = load_reference_student()
+    mod = load_reference_train_module()
+
+    kwargs = dict(encoder="vits", features=64, out_channels=[48, 96, 192, 384])
+    ref_student = DepthAnythingV2(**kwargs)
+    ref_teacher = DepthAnythingV2(**kwargs)
+    ref_student.train()
+    ref_teacher.eval()
+
+    cfg = MODELS["depthanything-small"]
+    sp = torch_to_params(
+        {k: v.detach().numpy() for k, v in ref_student.state_dict().items()}, cfg
+    )
+    tp = torch_to_params(
+        {k: v.detach().numpy() for k, v in ref_teacher.state_dict().items()}, cfg
+    )
+
+    rng = np.random.RandomState(0)
+    batches = [rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32) for _ in range(STEPS)]
+
+    ref_losses = _reference_trajectory(ref_student, ref_teacher, mod, batches)
+
+    student = create_model(cfg, attn_impl="reference")
+    teacher = create_model(cfg, attn_impl="reference")
+    opt_cfg = OptimizerConfig(
+        lr=LR, weight_decay=WD, warmup_steps=0, schedule="none",
+        total_steps=100, max_grad_norm=1.0, skip_nonfinite_updates=False,
+    )
+    state, tx = create_train_state(sp, opt_cfg)
+    loss_cfg = LossConfig(
+        normalization=NORM, use_hdn=True, hdn_variant="dr", hdn_level=3,
+        lambda_sc=0.5, lambda_lg=0.5, lambda_feat=1.0, lambda_grad=0.2,
+        lambda_hdn=0.8,
+    )
+    step = make_train_step(
+        lambda p, x: student.apply({"params": p}, x),
+        [lambda p, x: teacher.apply({"params": p}, x)],
+        tx, loss_cfg, seed=0,
+    )
+
+    # fp-level forward differences compound through Adam's rsqrt at a
+    # random-init loss landscape; tolerance grows per optimizer step
+    # step 0 = pure loss parity; step 1 proves grad+clip+Adam parity;
+    # step 2 only sanity-checks that divergence stays bounded
+    rtols = [2e-3, 4e-3, 1e-1]
+    for i, x in enumerate(batches):
+        state, metrics = step(state, (tp,), jnp.asarray(x), jnp.asarray(x))
+        for key in ("sc", "lg", "feat", "grad", "hdn", "total"):
+            np.testing.assert_allclose(
+                float(metrics[key]), ref_losses[i][key], rtol=rtols[i],
+                atol=2e-4, err_msg=f"step {i} loss {key}",
+            )
+
+    # After N steps, params stay within a few Adam-update radii of the torch
+    # trajectory. Elementwise identity is unattainable: at random init the
+    # gradients are noise-like and Adam's g/sqrt(v) update is ~sign(g)*lr,
+    # so fp-level gradient differences flip full-size update directions.
+    ref_final = {
+        k: v.detach().numpy() for k, v in ref_student.state_dict().items()
+    }
+    mine_final = torch_to_params(ref_final, cfg)  # reference layout -> tree
+    a = np.asarray(state.params["pretrained"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    b = np.asarray(mine_final["pretrained"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    mean_dist = float(np.mean(np.abs(a - b)))
+    assert mean_dist < 2 * LR * STEPS, mean_dist
