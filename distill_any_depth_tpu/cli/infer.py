@@ -96,7 +96,9 @@ def main(args=None) -> list[str]:
         colored = (chw2hwc(colored) * 255).astype(np.uint8)
         colored = cv2.resize(colored, (w, h), interpolation=cv2.INTER_LINEAR)
 
-        out_path = os.path.join(out_dir, f"depth_{i}.jpg")
+        # name by input stem: shard-local indices would collide across ranks
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(out_dir, f"depth_{stem}.jpg")
         Image.fromarray(colored).save(out_path)
         written.append(out_path)
         logging.info("%d %s -> %s", i, path, out_path)

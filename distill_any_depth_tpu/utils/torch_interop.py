@@ -64,6 +64,12 @@ def _set(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
     node = tree
     for p in path[:-1]:
         node = node.setdefault(p, {})
+    # own the memory: torch tensor.numpy() (and mmap'd safetensors) yield
+    # views, and in-place updates on the source would silently mutate the
+    # converted tree. Kernels transposed via _t/_conv_hwio already own their
+    # data, so this copies only pass-through leaves (biases, tokens, norms).
+    if not value.flags["OWNDATA"]:
+        value = np.array(value, copy=True)
     node[path[-1]] = value
 
 
@@ -78,10 +84,7 @@ def torch_to_params(
     rn = re.compile(r"^depth_head\.scratch\.refinenet(\d)\.(.+)$")
 
     for key, v in state.items():
-        # copy: torch tensor.numpy() yields a VIEW of the tensor storage, so
-        # in-place optimizer updates on the source model would silently
-        # mutate the converted tree
-        v = np.array(v, copy=True)
+        v = np.asarray(v)
         if key in ("pretrained.cls_token", "pretrained.pos_embed",
                    "pretrained.register_tokens"):
             _set(params, ("pretrained", key.split(".")[-1]), v)
@@ -302,7 +305,13 @@ def params_to_torch(params: Mapping, cfg: ModelConfig) -> dict[str, np.ndarray]:
                     out[f"depth_head.readout_projects.{i}.0.weight"] = _t(v)
                 else:
                     out[f"depth_head.readout_projects.{i}.0.bias"] = v
-    return out
+    # own the memory for pass-through leaves (mirror of _set's guard): a
+    # caller fine-tuning torch params built on these arrays must not mutate
+    # the source JAX tree
+    return {
+        k: (a if a.flags["OWNDATA"] else np.array(a, copy=True))
+        for k, a in out.items()
+    }
 
 
 def load_safetensors_params(path: str, cfg: ModelConfig, strict: bool = True) -> dict:

@@ -207,3 +207,32 @@ def test_nonfinite_gradients_skip_update():
     updates, state = tx.update(good, state, params)
     new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
     assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
+
+
+def test_converted_params_own_their_memory():
+    """torch tensor.numpy() is a view; conversion must copy so later
+    in-place updates on the source don't mutate the tree (and vice versa
+    for export)."""
+    torch = pytest.importorskip("torch")
+    from distill_any_depth_tpu.utils.torch_interop import (
+        params_to_torch,
+        torch_to_params,
+    )
+    from test_train import tiny_model_cfg
+
+    cfg = tiny_model_cfg("own")
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=56)
+    state = params_to_torch(params, cfg)
+    # export leaves own their memory
+    assert all(a.flags["OWNDATA"] for a in state.values())
+
+    tensors = {k: torch.from_numpy(v) for k, v in state.items()}
+    tree = torch_to_params({k: t.numpy() for k, t in tensors.items()}, cfg)
+    before = np.asarray(tree["pretrained"]["cls_token"]).copy()
+    tensors["pretrained.cls_token"].add_(123.0)  # in-place source mutation
+    np.testing.assert_array_equal(
+        np.asarray(tree["pretrained"]["cls_token"]), before
+    )
