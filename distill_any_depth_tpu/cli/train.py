@@ -52,6 +52,12 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of early steps")
     p.add_argument("--visualize_interval", type=int, default=500)
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="LoRA rank on student attention qkv/proj (0 = off)")
+    p.add_argument("--use_ssf", action="store_true",
+                   help="SSF scale/shift adapters on the student")
+    p.add_argument("--adapter_only", action="store_true",
+                   help="freeze base weights, train only LoRA/SSF adapters")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -65,13 +71,26 @@ def main(args=None) -> dict:
     )
     from distill_any_depth_tpu.train.loop import train_images, train_nyu
 
+    import dataclasses
+
     if args is None:
         args = argument_parser().parse_args()
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
 
+    student_cfg = model_config(args.student_arch)
+    if args.lora_rank or args.use_ssf:
+        student_cfg = dataclasses.replace(
+            student_cfg,
+            encoder=dataclasses.replace(
+                student_cfg.encoder,
+                lora_rank=args.lora_rank,
+                use_ssf=args.use_ssf,
+            ),
+        )
+
     total_steps = args.num_iterations or args.num_epochs * 1000
     cfg = TrainConfig(
-        student=model_config(args.student_arch),
+        student=student_cfg,
         teachers=tuple(args.teacher_models),
         teacher_checkpoints=tuple(args.teacher_checkpoints),
         loss=LossConfig(
@@ -107,6 +126,7 @@ def main(args=None) -> dict:
         output_dir=args.output_dir,
         dataset_dir=args.dataset_dir,
         teacher_dtype=args.teacher_dtype,
+        adapter_only=args.adapter_only,
     )
     kwargs = {}
     if args.resume:

@@ -184,6 +184,9 @@ class TrainConfig:
     # HBM — enables larger batches / resolutions)
     student_remat: bool = False
     attn_impl: str = "auto"  # auto | reference | flash
+    # parameter-efficient fine-tuning: train only LoRA/SSF adapter params
+    # (requires the student encoder config to enable lora_rank/use_ssf)
+    adapter_only: bool = False
 
 
 def model_config(arch_name: str) -> ModelConfig:

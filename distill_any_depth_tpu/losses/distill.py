@@ -55,8 +55,9 @@ def combined_distillation_loss(
     student_local_depth: jnp.ndarray,
     student_local_feat: jnp.ndarray,
     teacher_local_depth: jnp.ndarray,
-    teacher_local_feat: jnp.ndarray,
+    teacher_local_feat: jnp.ndarray | None = None,
     valid_mask: jnp.ndarray | None = None,
+    feat_loss: jnp.ndarray | None = None,
 ):
     """Full loss stack; returns (total, components dict).
 
@@ -65,6 +66,11 @@ def combined_distillation_loss(
     student-local, feature cosine on local features, gradient preservation on
     the student-local depth, HDN between student-local and teacher-local with
     contexts built from the teacher depth (mask None, :1547).
+
+    Pass either ``teacher_local_feat`` (the feature loss is computed here) or
+    a precomputed ``feat_loss`` scalar (the multi-teacher path computes it
+    inside the lax.switch branch because teachers may have different embed
+    dims).
     """
     sc = distillation_loss(
         student_local_depth, teacher_local_depth, cfg.normalization, cfg.num_segments
@@ -72,7 +78,10 @@ def combined_distillation_loss(
     lg = distillation_loss(
         student_global_depth, student_local_depth, cfg.normalization, cfg.num_segments
     )
-    feat = feature_distillation_loss(student_local_feat, teacher_local_feat)
+    if feat_loss is not None:
+        feat = feat_loss
+    else:
+        feat = feature_distillation_loss(student_local_feat, teacher_local_feat)
     grad = gradient_preservation_loss(student_local_depth)
 
     components = {"sc": sc, "lg": lg, "feat": feat, "grad": grad}

@@ -79,7 +79,30 @@ class Trainer:
             ]
 
         opt = cfg.optimizer
-        self.state, self.tx = create_train_state(self.student_params, opt)
+        if cfg.adapter_only:
+            import optax
+
+            from distill_any_depth_tpu.models.adapters import adapter_label_tree
+            from distill_any_depth_tpu.train.state import make_optimizer
+
+            labels = adapter_label_tree(self.student_params)
+            if "adapter" not in jax.tree_util.tree_leaves(labels):
+                raise ValueError(
+                    "adapter_only=True but the student has no LoRA/SSF "
+                    "params — set lora_rank/use_ssf on the encoder config"
+                )
+            self.tx = optax.multi_transform(
+                {"adapter": make_optimizer(opt), "frozen": optax.set_to_zero()},
+                labels,
+            )
+            opt_state = self.tx.init(self.student_params)
+            self.state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=self.student_params,
+                opt_state=opt_state,
+            )
+        else:
+            self.state, self.tx = create_train_state(self.student_params, opt)
         self.lr_schedule = make_lr_schedule(opt)
 
         student_apply = lambda p, x: self.student.apply({"params": p}, x)  # noqa: E731

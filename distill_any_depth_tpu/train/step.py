@@ -38,27 +38,37 @@ def _loss_fn(
     global_image: jnp.ndarray,
     local_image: jnp.ndarray,
 ):
+    from distill_any_depth_tpu.losses.feature import feature_distillation_loss
+
     s_global_depth, _ = student_apply(params, global_image)
     s_local_depth, s_local_feat = student_apply(params, local_image)
 
+    # Teachers may have different embed dims, so lax.switch branches cannot
+    # return the raw feature tensors (branch outputs must be type-equal).
+    # Each branch instead computes the feature loss against the student
+    # features — exactly the per-teacher shape reconciliation the reference
+    # performs (train_distillation.py:284-428) — and returns (depth, scalar).
     def teacher_branch(i):
         def run(_):
             d, f = teacher_applies[i](teacher_params[i], local_image)
-            return d.astype(jnp.float32), f.astype(jnp.float32)
+            feat_loss = feature_distillation_loss(
+                s_local_feat, jax.lax.stop_gradient(f.astype(jnp.float32))
+            )
+            return d.astype(jnp.float32), feat_loss
 
         return run
 
     if len(teacher_applies) == 1:
-        t_depth, t_feat = teacher_branch(0)(None)
+        t_depth, feat_loss = teacher_branch(0)(None)
     else:
-        t_depth, t_feat = jax.lax.switch(
+        t_depth, feat_loss = jax.lax.switch(
             teacher_idx, [teacher_branch(i) for i in range(len(teacher_applies))], None
         )
     t_depth = jax.lax.stop_gradient(t_depth)
-    t_feat = jax.lax.stop_gradient(t_feat)
 
     total, components = combined_distillation_loss(
-        loss_cfg, s_global_depth, s_local_depth, s_local_feat, t_depth, t_feat
+        loss_cfg, s_global_depth, s_local_depth, s_local_feat, t_depth,
+        feat_loss=feat_loss,
     )
     return total, components
 

@@ -131,3 +131,71 @@ def test_torch_export_skips_adapters(tmp_path):
     d0, _ = model.apply({"params": params}, jnp.zeros((1, 56, 56, 3)))
     d1, _ = model.apply({"params": loaded}, jnp.zeros((1, 56, 56, 3)))
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+
+
+def test_trainer_adapter_only_finetuning(tmp_path):
+    """Trainer with adapter_only: base params frozen, adapters move."""
+    import dataclasses
+    from distill_any_depth_tpu import configs
+    from distill_any_depth_tpu.configs import (
+        LossConfig, OptimizerConfig, TrainConfig,
+    )
+    from distill_any_depth_tpu.train.loop import Trainer
+
+    base = tiny_model_cfg("ft-student")
+    enc = dataclasses.replace(base.encoder, lora_rank=4, use_ssf=True)
+    configs.MODELS["ft-student"] = dataclasses.replace(base, encoder=enc)
+    configs.MODELS["ft-teacher"] = tiny_model_cfg("ft-teacher")
+
+    cfg = TrainConfig(
+        student=configs.MODELS["ft-student"], teachers=("ft-teacher",),
+        loss=LossConfig(use_hdn=False),
+        optimizer=OptimizerConfig(lr=1e-2, total_steps=4, warmup_steps=0,
+                                  schedule="none"),
+        batch_size=2, image_size=56, num_epochs=1, val_split=0.0,
+        checkpoint_interval=0, log_interval=10, visualize_interval=0,
+        output_dir=str(tmp_path), adapter_only=True,
+    )
+    trainer = Trainer(cfg)
+    before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+
+    def batches(epoch):
+        rng = np.random.RandomState(0)
+        for _ in range(2):
+            yield {"image": rng.rand(2, 56, 56, 3).astype(np.float32)}
+
+    trainer.run(batches, max_steps=2)
+    after = trainer.state.params
+
+    frozen_moved = adapter_moved = 0
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(before),
+        jax.tree_util.tree_leaves_with_path(after),
+    ):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        is_adapter = any(
+            k in ("lora_a", "lora_b") or k.startswith("ssf_") for k in keys
+        )
+        moved = float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        if is_adapter and moved:
+            adapter_moved += 1
+        if not is_adapter and moved:
+            frozen_moved += 1
+    assert adapter_moved > 0
+    assert frozen_moved == 0
+
+
+def test_adapter_only_without_adapters_raises(tmp_path):
+    from distill_any_depth_tpu import configs
+    from distill_any_depth_tpu.configs import TrainConfig, OptimizerConfig
+    from distill_any_depth_tpu.train.loop import Trainer
+
+    configs.MODELS.setdefault("plain-ft", tiny_model_cfg("plain-ft"))
+    cfg = TrainConfig(
+        student=configs.MODELS["plain-ft"], teachers=("plain-ft",),
+        optimizer=OptimizerConfig(total_steps=2),
+        batch_size=2, image_size=56, output_dir=str(tmp_path),
+        adapter_only=True,
+    )
+    with pytest.raises(ValueError, match="no LoRA/SSF"):
+        Trainer(cfg)

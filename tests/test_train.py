@@ -236,3 +236,36 @@ def test_converted_params_own_their_memory():
     np.testing.assert_array_equal(
         np.asarray(tree["pretrained"]["cls_token"]), before
     )
+
+
+def test_heterogeneous_teachers_switch(tiny_setup):
+    """Teachers with different embed dims share one compiled step: the
+    feature loss is computed inside the lax.switch branch (branch outputs
+    must be type-equal, so raw features cannot cross the switch)."""
+    import dataclasses
+
+    scfg, student, sp, teacher, tp = tiny_setup
+    big_enc = dataclasses.replace(
+        tiny_model_cfg("tiny-big").encoder, embed_dim=64, num_heads=4
+    )
+    big_cfg = dataclasses.replace(tiny_model_cfg("tiny-big"), encoder=big_enc)
+    teacher2 = create_model(big_cfg)
+    tp2 = init_params(teacher2, 3, image_size=56)
+
+    opt = OptimizerConfig(lr=1e-4, warmup_steps=0, schedule="none", total_steps=100)
+    state, tx = create_train_state(jax.tree_util.tree_map(jnp.array, sp), opt)
+    step = make_train_step(
+        lambda p, x: student.apply({"params": p}, x),
+        [
+            lambda p, x: teacher.apply({"params": p}, x),
+            lambda p, x: teacher2.apply({"params": p}, x),
+        ],
+        tx, LossConfig(use_hdn=False), seed=0,
+    )
+    x = _batch()
+    seen = set()
+    for _ in range(6):
+        state, metrics = step(state, (tp, tp2), x, x)
+        assert np.isfinite(float(metrics["total"]))
+        seen.add(int(metrics["teacher_idx"]))
+    assert seen == {0, 1}
