@@ -56,3 +56,32 @@ def test_point_cloud_and_ply(tmp_path):
     assert text.startswith("ply")
     assert "element vertex 24" in text
     assert text.strip().endswith("255 0 0")
+
+
+def test_aot_export_roundtrip(tmp_path):
+    """Serialized StableHLO artifact reproduces the live model's output and
+    is loadable without the model object."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.utils.export import export_forward, load_exported
+    from test_train import tiny_model_cfg
+
+    cfg = tiny_model_cfg("export")
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=56)
+
+    blob = export_forward(model, params, image_size=56, batch_size=1)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    path = tmp_path / "model.stablehlo"
+    path.write_bytes(blob)
+
+    fn = load_exported(path.read_bytes())
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 56, 56, 3), jnp.float32)
+    want, _ = model.apply({"params": params}, x)
+    got = fn(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
