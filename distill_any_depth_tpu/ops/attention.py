@@ -41,11 +41,20 @@ def mha_reference(
     dtype = q.dtype
     d = q.shape[-1]
     scale = d ** -0.5
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    # fp32 inputs run at HIGHEST precision: TPU default-precision matmuls
+    # quantize fp32 operands to bf16 (~1e-2 logit error), which would break
+    # this path's role as the parity baseline. bf16 inputs take the fast
+    # single-pass path.
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, precision=prec)
     if bias is not None:
         logits = logits + bias
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, v, precision=prec)
     return out
 
 
@@ -57,7 +66,9 @@ def multi_head_attention(
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch attention over ``[B, N, H, D]`` q/k/v."""
-    if impl == "flash" or (impl == "auto" and impl != "reference" and _use_flash(q)):
+    if impl not in ("auto", "flash", "reference"):
+        raise ValueError(f"unknown attention impl {impl!r}")
+    if impl == "flash" or (impl == "auto" and _use_flash(q)):
         from distill_any_depth_tpu.ops import flash_attention
 
         return flash_attention.mha_flash(q, k, v, bias)

@@ -19,10 +19,11 @@ Design (see pallas guide):
   matmul, matching the reference numerics.
 - Sequence padding to the 128-lane tile is masked with -inf columns via
   ``broadcasted_iota``.
-- Backward: custom VJP that recomputes attention with einsum. At these
-  sequence lengths the transient [B,H,N,N] bwd matrices fit HBM comfortably;
-  a blockwise flash backward is a later optimization, not a correctness or
-  capacity need.
+- Backward: a blockwise Pallas kernel under ``custom_vjp`` — recompute the
+  probabilities per q-tile, emit dq directly, accumulate dk/dv across the
+  sequential q grid; the [B,H,N,N] logits never reach HBM in either
+  direction (the einsum backward's fp32 logits alone OOM'd a bs16 392^2
+  train step). The bias path falls back to einsum recompute.
 - Off-TPU the kernel runs in interpreter mode so CPU tests exercise the same
   code path.
 """
@@ -94,7 +95,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, hp: int, n_real: int,
             preferred_element_type=jnp.float32,
         ) * scale  # [Bq, Nk] fp32
         if bias_ref is not None:
-            scores = scores + bias_ref[h].astype(jnp.float32)
+            # bias block is [1, Bq, Nk], shared by every head in the program
+            scores = scores + bias_ref[0].astype(jnp.float32)
         nk = scores.shape[-1]
         if nk > n_real:  # mask padded key columns
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -108,7 +110,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, hp: int, n_real: int,
 
 
 def _flash_fwd_impl(q, k, v, bias, interpret: bool):
-    """q/k/v: [BH, N, D] (same N), bias: [BH, N, N] or None."""
+    """q/k/v: [BH, N, D] (same N), bias: [1, N, N] (shared) or None."""
     bh, n, d = q.shape
     scale = d ** -0.5
     n_pad = _round_up(n, _LANE)
@@ -130,9 +132,12 @@ def _flash_fwd_impl(q, k, v, bias, interpret: bool):
     ]
     args = [qp, kp, vp]
     if bias is not None:
+        # bias stays [1, N, N] in HBM (index_map pins block 0) — never
+        # broadcast-materialized to [B*H, N, N] (721 MB at 518^2/B8/H12)
+        assert bias.shape[0] == 1, bias.shape
         bias_p = jnp.pad(bias, ((0, 0), (0, nq_pad - n), (0, n_pad - n)))
         in_specs.append(
-            pl.BlockSpec((hp, q_block, n_pad), lambda b, i: (b, i, 0))
+            pl.BlockSpec((1, q_block, n_pad), lambda b, i: (0, i, 0))
         )
         args.append(bias_p)
         kernel = functools.partial(
@@ -312,9 +317,13 @@ def mha_flash(
     bias_f = None
     if bias is not None:
         if bias.ndim == 2:
-            bias_f = jnp.broadcast_to(bias, (b * h, n, n))
-        elif bias.ndim == 3:  # [H, N, N]
-            bias_f = jnp.tile(bias, (b, 1, 1))
+            bias_f = bias[None]  # [1, N, N]: shared across batch and heads
+        elif bias.ndim == 3 and bias.shape[0] == 1:
+            bias_f = bias
+        elif bias.ndim == 3:  # per-head bias: rare, einsum path handles it
+            from distill_any_depth_tpu.ops.attention import mha_reference
+
+            return mha_reference(q, k, v, bias[None])
         else:
             raise ValueError(f"bias shape {bias.shape}")
 

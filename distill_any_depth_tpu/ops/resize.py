@@ -34,9 +34,6 @@ import numpy as np
 # paths (pos-embeds, depth upsampling). fp32 inputs run at HIGHEST precision
 # (bit-matching torch); bf16 inputs take the fast single-pass MXU path —
 # the data is already quantized to bf16, so extra fp32 passes buy nothing.
-_PRECISION = jax.lax.Precision.HIGHEST
-
-
 def _precision_for(dtype) -> jax.lax.Precision:
     return (
         jax.lax.Precision.DEFAULT

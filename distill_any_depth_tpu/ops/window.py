@@ -26,8 +26,15 @@ def _bias_np(gh: int, gw: int, window: int, n_prefix: int) -> np.ndarray:
     ys, xs = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
     ys, xs = ys.reshape(-1), xs.reshape(-1)
     half = window // 2
-    dy = np.abs(ys[:, None] - ys[None, :])
-    dx = np.abs(xs[:, None] - xs[None, :])
+    # Corner/edge completion (the reference's window-mask fixup,
+    # ViT_DINO.py:1162-1171): the window CENTER is clamped inward so border
+    # tokens attend to a full window x window block instead of a truncated
+    # one. When the grid is smaller than the window, the clamp degenerates
+    # to a fixed center whose window covers the whole axis.
+    cy = np.clip(ys, half, max(gh - 1 - half, half))
+    cx = np.clip(xs, half, max(gw - 1 - half, half))
+    dy = np.abs(cy[:, None] - ys[None, :])
+    dx = np.abs(cx[:, None] - xs[None, :])
     allowed = (dy <= half) & (dx <= half)
     bias = np.full((n, n), -np.inf, dtype=np.float32)
     bias[:n_prefix, :] = 0.0

@@ -105,17 +105,25 @@ class Trainer:
             self.state, self.tx = create_train_state(self.student_params, opt)
         self.lr_schedule = make_lr_schedule(opt)
 
-        student_apply = lambda p, x: self.student.apply({"params": p}, x)  # noqa: E731
-        teacher_applies = [
+        self._student_apply = lambda p, x: self.student.apply({"params": p}, x)  # noqa: E731
+        self._teacher_applies = [
             (lambda p, x, m=m, d=teacher_dtype: m.apply({"params": p}, x.astype(d)))
             for m in self.teachers
         ]
+        # steps are built lazily on the first batch: whether the global and
+        # local views share one array decides whether the second student
+        # forward can be skipped (make_train_step views_shared)
+        self.train_step = None
+        self.eval_loss = None
+
+    def _build_steps(self, views_shared: bool) -> None:
         self.train_step = make_train_step(
-            student_apply, teacher_applies, self.tx, cfg.loss, seed=cfg.seed,
-            mesh=self.mesh,
+            self._student_apply, self._teacher_applies, self.tx, self.cfg.loss,
+            seed=self.cfg.seed, mesh=self.mesh, views_shared=views_shared,
         )
         self.eval_loss = make_eval_loss_fn(
-            student_apply, teacher_applies, cfg.loss, seed=cfg.seed + 1
+            self._student_apply, self._teacher_applies, self.cfg.loss,
+            seed=self.cfg.seed + 1, views_shared=views_shared,
         )
 
     # ------------------------------------------------------------------ run
@@ -148,24 +156,32 @@ class Trainer:
 
         try:
             for epoch in range(cfg.num_epochs):
-                epoch_loss, nbatches = 0.0, 0
+                epoch_loss, nbatches = None, 0
                 for batch in train_batches(epoch):
                     if max_steps and step >= max_steps:
                         break
+                    if self.train_step is None:
+                        self._build_steps("global_image" not in batch)
                     g, l = _views(batch, self.mesh)
                     self.state, metrics = self.train_step(self.state, tp, g, l)
                     step += 1
-                    loss = float(metrics["total"])
-                    epoch_loss += loss
+                    # keep the loss on-device: a float() here would sync the
+                    # host every step and kill async dispatch pipelining
+                    epoch_loss = (
+                        metrics["total"]
+                        if epoch_loss is None
+                        else epoch_loss + metrics["total"]
+                    )
                     nbatches += 1
                     timer.tick(g.shape[0])
-                    history["lr"].append(float(self.lr_schedule(step)))
                     if profiling and step >= profile_until:
                         jax.profiler.stop_trace()
                         profiling = False
                         logger.info("profiler trace written to %s", profile_dir)
 
                     if step % cfg.log_interval == 0 or step == 1:
+                        lr_now = float(self.lr_schedule(step))
+                        history["lr"].append(lr_now)
                         comp = {
                             k: round(float(v), 4)
                             for k, v in metrics.items()
@@ -173,7 +189,7 @@ class Trainer:
                         }
                         logger.info(
                             "step %d | epoch %d | %s | lr %.2e | %.2f img/s | %.1fs",
-                            step, epoch + 1, comp, history["lr"][-1],
+                            step, epoch + 1, comp, lr_now,
                             timer.images_per_sec, time.time() - start,
                         )
                     if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
@@ -182,10 +198,11 @@ class Trainer:
                         self._visualize(g, l, step)
                 if max_steps and step >= max_steps:
                     if nbatches:
-                        history["train_loss"].append(epoch_loss / nbatches)
+                        history["train_loss"].append(float(epoch_loss) / nbatches)
                     break
 
-                history["train_loss"].append(epoch_loss / max(nbatches, 1))
+                if nbatches:
+                    history["train_loss"].append(float(epoch_loss) / nbatches)
 
                 if val_batches is not None:
                     val = self.validate(val_batches())
@@ -258,6 +275,8 @@ class Trainer:
         sums: dict[str, float] = {}
         n = 0
         for i, batch in enumerate(batches):
+            if self.eval_loss is None:
+                self._build_steps("global_image" not in batch)
             g, l = _views(batch, self.mesh)
             comps = self.eval_loss(
                 self.state.params, tuple(self.teacher_params), jnp.int32(i), g, l
@@ -265,7 +284,11 @@ class Trainer:
             for k, v in comps.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
-        return {k: v / max(n, 1) for k, v in sums.items()}
+        if n == 0:
+            # empty validation stream: surface it instead of a KeyError on
+            # history["val_loss"] downstream
+            return {"total": float("nan")}
+        return {k: v / n for k, v in sums.items()}
 
     def _save_step_checkpoint(self, step: int) -> None:
         path = os.path.join(
@@ -316,10 +339,16 @@ def train_nyu(
     loader when the native runtime is unavailable.
     """
     if cfg.use_native_loader:
+        # Fall back to the Python loader only when native SETUP fails; once
+        # training starts, failures must propagate (a blanket except here
+        # would silently restart a long run from scratch on any error).
+        native_run = None
         try:
-            return _train_nyu_native(cfg, root_dir, resume, profile_dir)
+            native_run = _prepare_nyu_native(cfg, root_dir)
         except Exception:
-            logger.exception("native loader path failed; using Python loader")
+            logger.exception("native loader setup failed; using Python loader")
+        if native_run is not None:
+            return native_run(resume, profile_dir)
 
     ds = NYUDataset(
         "train", dataset_dir=cfg.dataset_dir, image_size=cfg.image_size,
@@ -340,7 +369,9 @@ def train_nyu(
         ),
         val_batches=(
             (lambda: iterate_batches(ds, cfg.batch_size, shuffle=False, indices=val_idx))
-            if val_idx
+            # < batch_size val samples would yield ZERO batches (the
+            # iterator drops remainders) and an empty validation pass
+            if len(val_idx) >= cfg.batch_size
             else None
         ),
         max_steps=cfg.num_iterations or None,
@@ -394,12 +425,11 @@ def train_images(cfg: TrainConfig, image_dir: str | None = None,
     )
 
 
-def _train_nyu_native(
-    cfg: TrainConfig,
-    root_dir: str | None,
-    resume: str | None = None,
-    profile_dir: str | None = None,
-) -> dict:
+def _prepare_nyu_native(cfg: TrainConfig, root_dir: str | None):
+    """Set up the native-loader training path. Everything that can fail in a
+    recoverable way (toolchain, CSV, loader construction) happens HERE so
+    the caller can fall back to the Python loader; the returned callable
+    runs training and lets real failures propagate."""
     from distill_any_depth_tpu.data import native_loader
 
     if not native_loader.available():
@@ -421,6 +451,7 @@ def _train_nyu_native(
     rng = np.random.RandomState(cfg.seed)
     rng.shuffle(rows)
     n_val = int(len(rows) * cfg.val_split)
+    n_train = len(rows) - n_val
     os.makedirs(cfg.output_dir, exist_ok=True)
     train_csv = os.path.join(cfg.output_dir, "split_train.csv")
     val_csv = os.path.join(cfg.output_dir, "split_val.csv")
@@ -431,35 +462,50 @@ def _train_nyu_native(
 
     from distill_any_depth_tpu.parallel import launch
 
+    n_procs = launch.process_count()
+    # Every host must agree on steps/epoch or the SPMD collectives deadlock;
+    # round-robin shards differ by up to one row, so derive the count from
+    # the GLOBAL row count, not the local shard length.
+    steps_per_epoch = max((n_train // n_procs) // cfg.batch_size, 1)
+    val_steps = (n_val // n_procs) // cfg.batch_size if n_val else 0
+
     train_loader = native_loader.NativeNYULoader(
         train_csv, root, image_size=cfg.image_size, batch_size=cfg.batch_size,
         shuffle=True, seed=cfg.seed,
-        shard_index=launch.process_index(), num_shards=launch.process_count(),
+        shard_index=launch.process_index(), num_shards=n_procs,
     )
-    steps_per_epoch = max(len(train_loader) // cfg.batch_size, 1)
-    val_loader = None
-    if n_val >= cfg.batch_size:
-        val_loader = native_loader.NativeNYULoader(
+
+    def make_val_batches():
+        # a FRESH loader per validation pass: the native stream wraps around
+        # epochs internally, so reusing one loader would validate a drifting
+        # subset whenever n_val % batch_size != 0
+        loader = native_loader.NativeNYULoader(
             val_csv, root, image_size=cfg.image_size, batch_size=cfg.batch_size,
             shuffle=False, seed=cfg.seed,
+            shard_index=launch.process_index(), num_shards=n_procs,
         )
-    val_steps = (n_val // cfg.batch_size) if val_loader else 0
+        try:
+            yield from loader.batches(val_steps)
+        finally:
+            loader.close()
 
     logger.info(
         "native loader: %d train samples (%d steps/epoch), %d val steps",
         len(train_loader), steps_per_epoch, val_steps,
     )
-    trainer = Trainer(cfg)
-    if resume:
-        trainer.resume(resume)
-    try:
-        return trainer.run(
-            train_batches=lambda epoch: train_loader.batches(steps_per_epoch),
-            val_batches=(lambda: val_loader.batches(val_steps)) if val_loader else None,
-            max_steps=cfg.num_iterations or None,
-            profile_dir=profile_dir,
-        )
-    finally:
-        train_loader.close()
-        if val_loader:
-            val_loader.close()
+
+    def run(resume: str | None, profile_dir: str | None) -> dict:
+        trainer = Trainer(cfg)
+        if resume:
+            trainer.resume(resume)
+        try:
+            return trainer.run(
+                train_batches=lambda epoch: train_loader.batches(steps_per_epoch),
+                val_batches=make_val_batches if val_steps else None,
+                max_steps=cfg.num_iterations or None,
+                profile_dir=profile_dir,
+            )
+        finally:
+            train_loader.close()
+
+    return run

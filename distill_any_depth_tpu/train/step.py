@@ -37,11 +37,23 @@ def _loss_fn(
     teacher_idx: jnp.ndarray,
     global_image: jnp.ndarray,
     local_image: jnp.ndarray,
+    views_shared: bool = False,
 ):
     from distill_any_depth_tpu.losses.feature import feature_distillation_loss
 
-    s_global_depth, _ = student_apply(params, global_image)
+    # loss reductions must run in fp32 even for bf16-compute models: the
+    # masked sums/counts in the normalizations overflow/round badly in bf16
     s_local_depth, s_local_feat = student_apply(params, local_image)
+    s_local_depth = s_local_depth.astype(jnp.float32)
+    s_local_feat = s_local_feat.astype(jnp.float32)
+    if views_shared:
+        # NYU path: global view IS the local view -> skip the second full
+        # student forward (the reference pays it and gets lg == |x-x| == 0,
+        # train_distillation.py:1493-1510)
+        s_global_depth = s_local_depth
+    else:
+        s_global_depth, _ = student_apply(params, global_image)
+        s_global_depth = s_global_depth.astype(jnp.float32)
 
     # Teachers may have different embed dims, so lax.switch branches cannot
     # return the raw feature tensors (branch outputs must be type-equal).
@@ -80,6 +92,7 @@ def make_train_step(
     loss_cfg: LossConfig,
     seed: int = 0,
     mesh=None,
+    views_shared: bool = False,
 ):
     """Jitted train step.
 
@@ -91,6 +104,9 @@ def make_train_step(
     With ``mesh`` (parallel.mesh.make_mesh), the step is compiled
     data-parallel: state/teacher params replicated, batch sharded over the
     ``data`` axis, gradient reduction inserted by GSPMD.
+
+    ``views_shared=True`` (the NYU path, where global == local image) skips
+    the redundant second student forward — ~40% of student compute.
     """
 
     def step(state: TrainState, teacher_params, global_image, local_image):
@@ -106,6 +122,7 @@ def make_train_step(
                 student_apply,
                 teacher_applies,
                 loss_cfg,
+                views_shared=views_shared,
             ),
             has_aux=True,
         )(state.params, teacher_params, teacher_idx, global_image, local_image)
@@ -138,6 +155,7 @@ def make_eval_loss_fn(
     teacher_applies: Sequence[Callable],
     loss_cfg: LossConfig,
     seed: int = 1234,
+    views_shared: bool = False,
 ):
     """Validation loss (reference validate(), :818-1071): same stack, random
     teacher per call keyed by a step argument, no gradients."""
@@ -158,6 +176,7 @@ def make_eval_loss_fn(
             teacher_idx,
             global_image,
             local_image,
+            views_shared=views_shared,
         )
         return components
 

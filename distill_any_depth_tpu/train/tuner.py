@@ -16,6 +16,8 @@ import logging
 import os
 from typing import Sequence
 
+import numpy as np
+
 from distill_any_depth_tpu.configs import LossConfig, TrainConfig
 
 logger = logging.getLogger("distill_any_depth_tpu.tuner")
@@ -70,6 +72,8 @@ def tune_loss_weights(
         try:
             history = run_fn(cfg)
             score = (history.get("val_loss") or history.get("train_loss") or [float("inf")])[-1]
+            if not np.isfinite(score):
+                score = float("inf")  # a diverged run must never rank first
             results.append({"experiment": i, "lambdas": lambdas, "score": score,
                             "history": history})
         except Exception as e:  # a failed config should not kill the sweep

@@ -29,8 +29,12 @@ def test_window_bias_structure():
     assert bias.shape == (n, n)
     # cls row/col fully open
     assert np.all(bias[0] == 0) and np.all(bias[:, 0] == 0)
-    # token (0,0) [index 1] attends (0,1)->idx 2 but not (0,2)->idx 3
-    assert bias[1, 2] == 0 and bias[1, 3] == -np.inf
+    # corner completion: token (0,0) [index 1] gets the full shifted 3x3
+    # window centered at (1,1) -> attends (0,2)->idx 3 but NOT (0,3)->idx 4
+    assert bias[1, 2] == 0 and bias[1, 3] == 0 and bias[1, 4] == -np.inf
+    # every patch token attends exactly window^2 = 9 patch tokens
+    patch = bias[1:, 1:]
+    assert np.all((patch == 0).sum(axis=1) == 9)
     # (1,1) -> idx 1+5=6 sees all its 8 neighbours
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
