@@ -35,6 +35,20 @@ class EncoderConfig:
     # Covers the reference's windowed high-resolution variant
     # (ViT_DINO.py:875-1234) as an additive attention bias.
     window_size: int | None = None
+    # Windowed-variant machinery (DinoWindowVisionTransformer,
+    # ViT_DINO.py:875-1264): no cls token, conv positional encoding
+    # (PosConv/PEG, :853-871) blended with the interpolated PE on a step
+    # schedule (:1016-1019, :1118-1139), and all four taps equal to the
+    # final post-norm layer (:1259-1264).
+    use_cls_token: bool = True
+    use_pos_conv: bool = False
+    pe_start_step: int = 2000  # ViT_DINO.py:1017-1018 (start_step)
+    pe_total_step: int = 10000  # ViT_DINO.py:1016 (total_step)
+    final_taps: bool = False
+    # multi_output taps (ViT_DINO_reg.py:1030-1038): evenly spaced taps
+    # returned PRE-norm. tap_norm=False reproduces that (out_indices must
+    # then be the evenly spaced quarter indices).
+    tap_norm: bool = True
     # Parameter-efficient tuning (ViT_DINO_reg.py:29-133): LoRA rank on
     # attention qkv/proj (0 = off) and SSF scale/shift adapters.
     lora_rank: int = 0
@@ -60,14 +74,27 @@ ENCODERS: dict[str, EncoderConfig] = {
     "vitg": _enc("vitg", 1536, 40, 24, (9, 19, 29, 39), ffn="swiglu"),
     # DINOv2-with-registers teacher variants
     # (modeling/backbones/vit/ViT_DINO_reg.py:1221-1294).
+    # ViT_DINO_reg keeps the default interpolate_offset=0.1
+    # (ViT_DINO_reg.py:777, :919; vit_large_reg/vit_giant2_reg don't override).
     "vitl_reg": _enc(
         "vitl_reg", 1024, 24, 16, (4, 11, 17, 23),
-        num_register_tokens=4, interpolate_offset=0.0, init_values=1e-5,
+        num_register_tokens=4, init_values=1e-5,
     ),
+    # vit_giant2_reg is built with multi_output=True (ViT_DINO_reg.py:1275-
+    # 1294): evenly spaced pre-norm taps after every depth/4 blocks.
     "vitg_reg": _enc(
         "vitg_reg", 1536, 40, 24, (9, 19, 29, 39),
-        num_register_tokens=4, interpolate_offset=0.0, init_values=1e-5,
-        ffn="swiglu",
+        num_register_tokens=4, init_values=1e-5,
+        ffn="swiglu", tap_norm=False,
+    ),
+    # The windowed high-resolution ViT-B (DinoWindowVisionTransformer,
+    # ViT_DINO.py:875-1264, instantiated by vit_base :1349-1360): window 7,
+    # PEG conv positional encoding, no cls token, 224-based pos-embed grid,
+    # four identical final-layer taps.
+    "vitb_window": _enc(
+        "vitb_window", 768, 12, 12, (2, 5, 8, 11),
+        window_size=7, use_pos_conv=True, use_cls_token=False,
+        base_img_size=224, init_values=1e-5, final_taps=True,
     ),
 }
 
@@ -90,6 +117,9 @@ class ModelConfig:
     use_clstoken: bool = False
     trailing_head_relu: bool = True
     interp_to_input: bool = False  # teacher resizes depth to input resolution
+    # Channel-selective trailing relu for multi-channel teacher heads
+    # (dam.py:414-417): channels 0-1 pass through signed, channels 2+ relu'd.
+    wo_relu_1_2_channel: bool = False
 
 
 # Matches the reference model_kwargs tables
@@ -112,6 +142,36 @@ MODELS: dict[str, ModelConfig] = {
     ),
     "depthanything-giant": ModelConfig(
         "depthanything-giant", ENCODERS["vitg"], 384, (1536, 1536, 1536, 1536)
+    ),
+    # DINOv2-with-registers teacher family, selected by use_registers in the
+    # reference (dam.py:344-349: vitl -> vit_large_reg, vitg ->
+    # vit_giant2_reg); DPT head dims follow the dam kwargs of the matching
+    # non-reg arch (tools/train_distillation.py:713-729).
+    "depthanything-large-reg": ModelConfig(
+        "depthanything-large-reg",
+        ENCODERS["vitl_reg"],
+        256,
+        (256, 512, 1024, 1024),
+        trailing_head_relu=False,
+        interp_to_input=True,
+    ),
+    "depthanything-giant-reg": ModelConfig(
+        "depthanything-giant-reg",
+        ENCODERS["vitg_reg"],
+        384,
+        (1536, 1536, 1536, 1536),
+        trailing_head_relu=False,
+        interp_to_input=True,
+    ),
+    # Windowed high-resolution ViT-B teacher (dam.py:361-362 encoder='vitb'
+    # -> ViT_DINO.vit_base, the DinoWindowVisionTransformer).
+    "depthanything-base-window": ModelConfig(
+        "depthanything-base-window",
+        ENCODERS["vitb_window"],
+        128,
+        (96, 192, 384, 768),
+        trailing_head_relu=False,
+        interp_to_input=True,
     ),
 }
 
@@ -176,7 +236,11 @@ class TrainConfig:
     # parallelism
     dp: int = 1  # data-parallel mesh size over ICI
     teacher_dtype: str = "bfloat16"
-    student_compute_dtype: str = "float32"
+    # bf16 student matmuls by default: the loss stack upcasts to fp32
+    # (train/step.py), params/optimizer stay fp32; ~1.5x faster steps on
+    # v5e with trajectory parity validated in tests/test_train_parity.py.
+    # Set "float32" for bit-level parity work.
+    student_compute_dtype: str = "bfloat16"
     # host IO: prefer the C++ threaded loader (native/dad_loader.cpp) when
     # buildable; falls back to the Python loader otherwise
     use_native_loader: bool = True

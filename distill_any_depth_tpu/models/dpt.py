@@ -198,7 +198,7 @@ class DepthModel(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, pe_step: jnp.ndarray | None = None):
         h, w = x.shape[1], x.shape[2]
         p = self.cfg.encoder.patch_size
         gh, gw = h // p, w // p
@@ -209,7 +209,7 @@ class DepthModel(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             name="pretrained",
-        )(x)
+        )(x, pe_step=pe_step)
 
         depth = DPTHead(
             features=self.cfg.features,
@@ -225,8 +225,15 @@ class DepthModel(nn.Module):
         if self.cfg.interp_to_input and depth.shape[1:3] != (h, w):
             depth = resize_2d(depth, (h, w), "bilinear", align_corners=True)
         # Final ReLU: idempotent for the student head (already ReLU'd), the
-        # actual activation for the teacher head (dam.py:414-417).
-        depth = nn.relu(depth)
+        # actual activation for the teacher head (dam.py:414-417). With
+        # wo_relu_1_2_channel, channels 0-1 stay signed and only channels 2+
+        # are ReLU'd (dam.py:416-417).
+        if self.cfg.wo_relu_1_2_channel:
+            depth = jnp.concatenate(
+                [depth[..., :2], nn.relu(depth[..., 2:])], axis=-1
+            )
+        else:
+            depth = nn.relu(depth)
         if depth.shape[-1] == 1:
             depth = depth[..., 0]
         return depth, taps[3]

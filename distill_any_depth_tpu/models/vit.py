@@ -187,16 +187,19 @@ def _interp_pos_embed(
     gw: int,
     offset: float,
     dtype: Dtype,
+    has_cls: bool = True,
 ) -> jnp.ndarray:
     """Bicubic pos-embed resampling with torch scale-factor semantics.
 
     Reference computes ``interpolate(scale_factor=((g+off)/g0, ...),
-    mode='bicubic')`` (dinov2.py:194-205). Shapes are static under jit so the
-    interpolation matrices are numpy constants.
+    mode='bicubic')`` (dinov2.py:194-205; cls-less windowed variant
+    ViT_DINO.py:1030-1058). Shapes are static under jit so the interpolation
+    matrices are numpy constants.
     """
     n_base = base_grid * base_grid
-    cls_pos = pos_embed[:, :1]
-    patch_pos = pos_embed[:, 1 : 1 + n_base]
+    n_cls = 1 if has_cls else 0
+    cls_pos = pos_embed[:, :n_cls]
+    patch_pos = pos_embed[:, n_cls : n_cls + n_base]
     if (gh, gw) == (base_grid, base_grid):
         return pos_embed.astype(dtype)
     dim = pos_embed.shape[-1]
@@ -208,7 +211,36 @@ def _interp_pos_embed(
     out = jnp.einsum("Hh,hwc->Hwc", mh, grid, precision=_POS_PRECISION)
     out = jnp.einsum("Ww,hwc->hWc", mw, out, precision=_POS_PRECISION)
     out = out.reshape(1, gh * gw, dim)
+    if not has_cls:
+        return out.astype(dtype)
     return jnp.concatenate([cls_pos.astype(jnp.float32), out], axis=1).astype(dtype)
+
+
+class PosConv(nn.Module):
+    """PEG conv positional encoding (ViT_DINO.py:853-871, PosConv; the PEG
+    of https://arxiv.org/abs/2102.10882).
+
+    A 37x37 depthwise conv over the token grid plus the identity (stride 1).
+    Input/output: ``[B, N, C]`` tokens on a ``gh x gw`` grid, NHWC inside.
+    """
+
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+        b, n, c = tokens.shape
+        x = tokens.reshape(b, gh, gw, c)
+        y = nn.Conv(
+            self.embed_dim,
+            (37, 37),
+            padding=((18, 18), (18, 18)),
+            feature_group_count=self.embed_dim,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        y = y + x  # stride==1 residual (ViT_DINO.py:866-867)
+        return y.reshape(b, n, c)
 
 
 class DinoViT(nn.Module):
@@ -227,7 +259,7 @@ class DinoViT(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, pe_step: jnp.ndarray | None = None):
         cfg = self.cfg
         b, h, w, _ = x.shape
         p = cfg.patch_size
@@ -239,27 +271,50 @@ class DinoViT(nn.Module):
 
         tokens = PatchEmbed(p, cfg.embed_dim, self.dtype, name="patch_embed")(x)
 
-        cls_token = self.param(
-            "cls_token",
-            nn.initializers.normal(stddev=1e-6),
-            (1, 1, cfg.embed_dim),
-            jnp.float32,
-        )
         pos_embed = self.param(
             "pos_embed",
             nn.initializers.truncated_normal(stddev=0.02),
-            (1, n_base + 1, cfg.embed_dim),
+            (1, n_base + (1 if cfg.use_cls_token else 0), cfg.embed_dim),
             jnp.float32,
         )
-        tokens = jnp.concatenate(
-            [jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, cfg.embed_dim)), tokens],
-            axis=1,
+        if cfg.use_cls_token:
+            cls_token = self.param(
+                "cls_token",
+                nn.initializers.normal(stddev=1e-6),
+                (1, 1, cfg.embed_dim),
+                jnp.float32,
+            )
+            tokens = jnp.concatenate(
+                [
+                    jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, cfg.embed_dim)),
+                    tokens,
+                ],
+                axis=1,
+            )
+        pe = _interp_pos_embed(
+            pos_embed, base_grid, gh, gw, cfg.interpolate_offset, self.dtype,
+            has_cls=cfg.use_cls_token,
         )
-        tokens = tokens + _interp_pos_embed(
-            pos_embed, base_grid, gh, gw, cfg.interpolate_offset, self.dtype
-        )
+        if cfg.use_pos_conv:
+            # PE -> GPE scheduled blend (ViT_DINO.py:1016-1019, 1118-1139):
+            # coef ramps 0 -> 1 between pe_start_step and pe_total_step;
+            # inference (pe_step=None) uses the post-schedule coef = 1
+            # (current_step initialized past total_step, :1019).
+            gpe = PosConv(cfg.embed_dim, self.dtype, name="pos_conv")(tokens, gh, gw)
+            if pe_step is None:
+                tokens = tokens + gpe
+            else:
+                coef = jnp.clip(
+                    (jnp.asarray(pe_step, jnp.float32) - cfg.pe_start_step)
+                    / (cfg.pe_total_step - cfg.pe_start_step),
+                    0.0,
+                    1.0,
+                ).astype(self.dtype)
+                tokens = tokens + (1.0 - coef) * pe + coef * gpe
+        else:
+            tokens = tokens + pe
 
-        n_prefix = 1
+        n_prefix = 1 if cfg.use_cls_token else 0
         if cfg.num_register_tokens:
             reg = self.param(
                 "register_tokens",
@@ -271,7 +326,9 @@ class DinoViT(nn.Module):
                 reg.astype(self.dtype), (b, cfg.num_register_tokens, cfg.embed_dim)
             )
             # Registers go between cls and patch tokens (dinov2.py:221-229).
-            tokens = jnp.concatenate([tokens[:, :1], reg, tokens[:, 1:]], axis=1)
+            tokens = jnp.concatenate(
+                [tokens[:, :n_prefix], reg, tokens[:, n_prefix:]], axis=1
+            )
             n_prefix += cfg.num_register_tokens
 
         block = Block
@@ -282,9 +339,9 @@ class DinoViT(nn.Module):
         if cfg.window_size is not None:
             from distill_any_depth_tpu.ops.window import local_window_bias
 
-            bias = local_window_bias(gh, gw, cfg.window_size, n_prefix=(
-                1 + cfg.num_register_tokens
-            )).astype(self.dtype)
+            bias = local_window_bias(
+                gh, gw, cfg.window_size, n_prefix=n_prefix
+            ).astype(self.dtype)
 
         out_set = set(cfg.out_indices)
         raw_taps: dict[int, jnp.ndarray] = {}
@@ -305,8 +362,19 @@ class DinoViT(nn.Module):
 
         norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
         taps, cls_tokens = [], []
-        for i in cfg.out_indices:
-            t = norm(raw_taps[i])
-            cls_tokens.append(t[:, 0])
-            taps.append(t[:, n_prefix:])
+        if cfg.final_taps:
+            # Windowed-variant contract (ViT_DINO.py:1253-1264): all four
+            # "taps" are the same final post-norm token tensor.
+            t = norm(tokens)
+            taps = [t[:, n_prefix:]] * 4
+            cls_tokens = [t[:, 0]] * 4
+        else:
+            for i in cfg.out_indices:
+                # tap_norm=False: multi_output pre-norm taps
+                # (ViT_DINO_reg.py:1030-1038).
+                t = norm(raw_taps[i]) if cfg.tap_norm else raw_taps[i]
+                cls_tokens.append(t[:, 0])
+                taps.append(t[:, n_prefix:])
+            if not cfg.tap_norm:
+                norm(tokens)  # keep the final-norm params in the pytree
         return taps, cls_tokens

@@ -90,6 +90,12 @@ def torch_to_params(
             _set(params, ("pretrained", key.split(".")[-1]), v)
         elif key == "pretrained.mask_token":
             continue  # unused by the depth forward pass
+        elif key == "pretrained.pos_conv.proj.0.weight":
+            # PEG depthwise conv (ViT_DINO.py:853-860): torch groups=C weight
+            # [C, 1, 37, 37] -> flax feature_group_count kernel [37, 37, 1, C]
+            _set(params, ("pretrained", "pos_conv", "proj", "kernel"), _conv_hwio(v))
+        elif key == "pretrained.pos_conv.proj.0.bias":
+            _set(params, ("pretrained", "pos_conv", "proj", "bias"), v)
         elif key == "pretrained.patch_embed.proj.weight":
             d = v.shape[0]
             k = np.transpose(v, (2, 3, 1, 0)).reshape(-1, d)
@@ -217,6 +223,13 @@ def params_to_torch(params: Mapping, cfg: ModelConfig) -> dict[str, np.ndarray]:
             elif path[1] == "norm":
                 name = "weight" if path[2] == "scale" else "bias"
                 out[f"pretrained.norm.{name}"] = v
+            elif path[1] == "pos_conv":
+                if path[-1] == "kernel":
+                    out["pretrained.pos_conv.proj.0.weight"] = np.ascontiguousarray(
+                        np.transpose(v, (3, 2, 0, 1))
+                    )
+                else:
+                    out["pretrained.pos_conv.proj.0.bias"] = v
             elif path[1].startswith("blocks_"):
                 i = path[1].split("_")[1]
                 rest = path[2:]

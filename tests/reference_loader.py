@@ -114,6 +114,57 @@ def _install_stubs() -> None:
     _stub("detectron2.engine", launch=lambda *a, **k: None)
 
 
+def _install_xformers_pattern_stub() -> None:
+    """ViT_DINO.prepare_attn_bias imports xformers'
+    ``local_2d_pattern`` at call time (ViT_DINO.py:1146). Provide the
+    documented semantics (p-norm pairwise grid distance < threshold) so the
+    windowed reference path runs without xformers."""
+    import torch
+
+    def local_2d_pattern(h, w, distance, p=2.0):
+        coords = torch.stack(
+            torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij"),
+            dim=-1,
+        ).reshape(-1, 2).float()
+        d = torch.cdist(coords, coords, p=float(p))
+        return d < distance
+
+    xf = _stub("xformers")
+    comp = _stub("xformers.components")
+    attn = _stub("xformers.components.attention")
+    ap = _stub(
+        "xformers.components.attention.attention_patterns",
+        local_2d_pattern=local_2d_pattern,
+    )
+    xf.components = comp
+    comp.attention = attn
+    attn.attention_patterns = ap
+
+
+def load_reference_vit_dino():
+    """Reference ViT_DINO module (incl. the windowed
+    DinoWindowVisionTransformer). On CPU without xformers the MemEffAttention
+    fallback asserts bias is None, so attention is routed through the
+    bias-capable base ``Attention.forward`` (numerically identical,
+    ViT_DINO.py:280-297 vs :300-320)."""
+    _ensure_paths()
+    _install_stubs()
+    _install_xformers_pattern_stub()
+    from distillanydepth.modeling.backbones.vit import ViT_DINO
+
+    ViT_DINO.MemEffAttention.forward = ViT_DINO.Attention.forward
+    return ViT_DINO
+
+
+def load_reference_vit_dino_reg():
+    """Reference ViT_DINO_reg module (DINOv2-with-registers encoders)."""
+    _ensure_paths()
+    _install_stubs()
+    from distillanydepth.modeling.backbones.vit import ViT_DINO_reg
+
+    return ViT_DINO_reg
+
+
 def _ensure_paths() -> None:
     for p in (REFERENCE_ROOT, os.path.join(REFERENCE_ROOT, "tools")):
         if p not in sys.path:

@@ -112,3 +112,118 @@ def test_teacher_vitl_parity():
     depth, feat = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(depth), ref_depth[:, 0], rtol=1e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(feat), ref_feat, rtol=1e-3, atol=5e-4)
+
+
+def _small_reg_vit(multi_output=False):
+    from functools import partial
+    from reference_loader import load_reference_vit_dino_reg
+
+    ViT_DINO_reg = load_reference_vit_dino_reg()
+    torch.manual_seed(0)
+    ref = ViT_DINO_reg.DinoVisionTransformer(
+        img_size=518,
+        patch_size=14,
+        embed_dim=96,
+        depth=4,
+        num_heads=4,
+        mlp_ratio=4,
+        block_fn=partial(
+            ViT_DINO_reg.Block, attn_class=ViT_DINO_reg.MemEffAttention
+        ),
+        num_register_tokens=4,
+        multi_output=multi_output,
+    )
+    ref.eval()
+    return ref
+
+
+def _reg_encoder_cfg(tap_norm=True):
+    from distill_any_depth_tpu.configs import EncoderConfig
+
+    return EncoderConfig(
+        name="vits_reg_test",
+        embed_dim=96,
+        depth=4,
+        num_heads=4,
+        out_indices=(0, 1, 2, 3),
+        num_register_tokens=4,
+        init_values=1e-5,
+        tap_norm=tap_norm,
+    )
+
+
+def test_registers_teacher_parity():
+    """DINOv2-with-registers encoder (ViT_DINO_reg.py:754-1100): same weights
+    -> same normed intermediate taps and cls tokens. The reference's
+    get_intermediate_layers keeps the 4 register tokens in the patch output
+    (:1081, out[:, 1:]) which crashes its own DPT-head reshape; this
+    framework strips them — compare against ref outputs with registers
+    stripped."""
+    from distill_any_depth_tpu.models.vit import DinoViT
+
+    ref = _small_reg_vit()
+    state = {f"pretrained.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = _reg_encoder_cfg()
+    params = torch_to_params(state, None)["pretrained"]
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(2, 3, 98, 126).astype(np.float32)
+    with torch.no_grad():
+        outs = ref.get_intermediate_layers(
+            torch.from_numpy(x), [0, 1, 2, 3], return_class_token=True, norm=True
+        )
+
+    model = DinoViT(cfg, attn_impl="reference")
+    taps, cls_tokens = model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    for (ref_patch, ref_cls), tap, cls in zip(outs, taps, cls_tokens):
+        np.testing.assert_allclose(
+            np.asarray(tap), ref_patch.numpy()[:, 4:], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(cls), ref_cls.numpy(), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_registers_multi_output_parity():
+    """multi_output=True (vit_giant2_reg, ViT_DINO_reg.py:1275-1294):
+    evenly spaced PRE-norm taps (ViT_DINO_reg.py:1030-1038). tap_norm=False
+    reproduces this; registers stripped as above."""
+    from distill_any_depth_tpu.models.vit import DinoViT
+
+    ref = _small_reg_vit(multi_output=True)
+    state = {f"pretrained.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = _reg_encoder_cfg(tap_norm=False)
+    params = torch_to_params(state, None)["pretrained"]
+
+    rng = np.random.RandomState(13)
+    x = rng.rand(1, 3, 112, 112).astype(np.float32)
+    with torch.no_grad():
+        feats, shape_info = ref.forward_features(torch.from_numpy(x))
+    assert len(feats) == 4
+    assert shape_info[-1] == 4  # num_register_tokens
+
+    model = DinoViT(cfg, attn_impl="reference")
+    taps, _ = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for ref_tap, tap in zip(feats, taps):
+        np.testing.assert_allclose(
+            np.asarray(tap), ref_tap.numpy()[:, 5:], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_reg_models_constructible():
+    """MODELS wiring: the reg teacher presets build and run end-to-end."""
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+
+    cfg = MODELS["depthanything-large-reg"]
+    assert cfg.encoder.num_register_tokens == 4
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=56)
+    depth, feat = model.apply(
+        {"params": params}, jnp.zeros((1, 56, 56, 3), jnp.float32)
+    )
+    assert depth.shape == (1, 56, 56)
+    assert feat.shape == (1, 16, 1024)
+    assert MODELS["depthanything-giant-reg"].encoder.tap_norm is False
+    assert MODELS["depthanything-base-window"].encoder.use_pos_conv is True

@@ -269,3 +269,65 @@ def test_heterogeneous_teachers_switch(tiny_setup):
         assert np.isfinite(float(metrics["total"]))
         seen.add(int(metrics["teacher_idx"]))
     assert seen == {0, 1}
+
+
+def test_reg_and_window_teachers_train_step(tiny_setup):
+    """End-to-end training dryrun with a registers teacher and a windowed
+    teacher (the reference's use_registers / DinoWindow teacher families,
+    dam.py:344-365, ViT_DINO.py:875-1264): both wire through the standard
+    multi-teacher step."""
+    scfg, student, sp, _teacher, _tp = tiny_setup
+
+    reg_enc = dataclasses.replace(
+        tiny_model_cfg("tiny-reg").encoder,
+        num_register_tokens=4, init_values=1e-5,
+    )
+    reg_cfg = dataclasses.replace(
+        tiny_model_cfg("tiny-reg", trailing_head_relu=False, interp_to_input=True),
+        encoder=reg_enc,
+    )
+    win_enc = dataclasses.replace(
+        tiny_model_cfg("tiny-win").encoder,
+        window_size=3, use_pos_conv=True, use_cls_token=False, final_taps=True,
+    )
+    win_cfg = dataclasses.replace(
+        tiny_model_cfg("tiny-win", trailing_head_relu=False, interp_to_input=True),
+        encoder=win_enc,
+    )
+    t_reg = create_model(reg_cfg)
+    t_win = create_model(win_cfg)
+    tp_reg = init_params(t_reg, 4, image_size=56)
+    tp_win = init_params(t_win, 5, image_size=56)
+
+    opt = OptimizerConfig(lr=1e-4, warmup_steps=0, schedule="none", total_steps=100)
+    state, tx = create_train_state(jax.tree_util.tree_map(jnp.array, sp), opt)
+    step = make_train_step(
+        lambda p, x: student.apply({"params": p}, x),
+        [
+            lambda p, x: t_reg.apply({"params": p}, x),
+            lambda p, x: t_win.apply({"params": p}, x),
+        ],
+        tx, LossConfig(use_hdn=False), seed=0,
+    )
+    x = _batch()
+    seen = set()
+    for _ in range(4):
+        state, metrics = step(state, (tp_reg, tp_win), x, x)
+        assert np.isfinite(float(metrics["total"]))
+        seen.add(int(metrics["teacher_idx"]))
+    assert seen == {0, 1}
+
+
+def test_wo_relu_1_2_channel_head():
+    """dam.py:414-417: channels 0-1 signed, channels 2+ ReLU'd."""
+    cfg = tiny_model_cfg(
+        "tiny-multichan", head_out_channels=4, trailing_head_relu=False,
+        wo_relu_1_2_channel=True,
+    )
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=56)
+    depth, _ = model.apply({"params": params}, _batch(bs=1))
+    depth = np.asarray(depth)
+    assert depth.shape == (1, 56, 56, 4)
+    assert np.all(depth[..., 2:] >= 0)
+    assert np.any(depth[..., :2] < 0)  # signed channels pass through
