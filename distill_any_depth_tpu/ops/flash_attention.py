@@ -23,7 +23,9 @@ Design (see pallas guide):
   probabilities per q-tile, emit dq directly, accumulate dk/dv across the
   sequential q grid; the [B,H,N,N] logits never reach HBM in either
   direction (the einsum backward's fp32 logits alone OOM'd a bs16 392^2
-  train step). The bias path falls back to einsum recompute.
+  train step). Constant biases (window/segment masks — detected via
+  custom_vjp ``symbolic_zeros``) run the same Pallas backward with the mask
+  folded into the recompute; only a *trainable* bias falls back to einsum.
 - Off-TPU the kernel runs in interpreter mode so CPU tests exercise the same
   code path.
 """
@@ -173,10 +175,13 @@ def _reference_attention(q, k, v, bias):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                n_real: int, scale: float):
+                n_real: int, scale: float, bias_ref=None):
     """Blockwise attention backward: recomputes this q-tile's probabilities
     and accumulates dk/dv across the (sequential) q-grid dimension — no
-    [N, N] logits ever reach HBM."""
+    [N, N] logits ever reach HBM. The optional bias block (window log-mask /
+    packed-segment mask) enters the recomputed logits exactly as in the
+    forward; it is treated as a constant (no dbias accumulation here —
+    trainable biases take the einsum fallback, see _flash_bwd)."""
     i = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
@@ -187,6 +192,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
     if s.shape[-1] > n_real:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_real, s, -jnp.inf)
@@ -224,7 +231,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     )  # [Nk, D] fp32
 
 
-def _flash_bwd_impl(q, k, v, dout, interpret: bool):
+def _flash_bwd_impl(q, k, v, dout, interpret: bool, bias=None):
     bh, n, d = q.shape
     scale = d ** -0.5
     n_pad = _round_up(n, _LANE)
@@ -238,32 +245,50 @@ def _flash_bwd_impl(q, k, v, dout, interpret: bool):
 
     qp, kp, vp, dop = pad(q, nq_pad), pad(k, n_pad), pad(v, n_pad), pad(dout, nq_pad)
 
+    in_specs = [
+        pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
+    ]
+    args = [qp, kp, vp, dop]
+    if bias is not None:
+        # like the forward: the [1, N, N] mask stays unbroadcast in HBM,
+        # each program reads its [1, q_block, n_pad] tile
+        bias_p = jnp.pad(bias, ((0, 0), (0, nq_pad - n), (0, n_pad - n)))
+        in_specs.append(pl.BlockSpec((1, q_block, n_pad), lambda b, i: (0, i, 0)))
+        args.append(bias_p)
+        kernel = functools.partial(_bwd_bias_kernel_adapter, n_real=n, scale=scale)
+    else:
+        kernel = functools.partial(_bwd_kernel, n_real=n, scale=scale)
+
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_real=n, scale=scale),
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
         ),
         grid=(bh, nq_pad // q_block),
-        in_specs=[
-            pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop)
+    )(*args)
     return (
         dq[:, :n],
         dk[:, :n].astype(k.dtype),
         dv[:, :n].astype(v.dtype),
     )
+
+
+def _bwd_bias_kernel_adapter(q_ref, k_ref, v_ref, do_ref, bias_ref,
+                             dq_ref, dk_ref, dv_ref, *, n_real, scale):
+    _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                n_real=n_real, scale=scale, bias_ref=bias_ref)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -272,20 +297,34 @@ def _flash(q, k, v, bias, interpret):
 
 
 def _flash_fwd(q, k, v, bias, interpret):
-    return _flash_fwd_impl(q, k, v, bias, interpret), (q, k, v, bias)
+    # symbolic_zeros=True: args arrive as CustomVJPPrimal(value, perturbed).
+    # bias.perturbed tells us whether anything differentiates the bias — for
+    # the framework's constant window/segment masks it never does, so the
+    # backward can stay fully in Pallas with no dbias.
+    bias_value = None if bias is None else bias.value
+    bias_perturbed = False if bias is None else bias.perturbed
+    out = _flash_fwd_impl(q.value, k.value, v.value, bias_value, interpret)
+    return out, (q.value, k.value, v.value, bias_value, bias_perturbed)
 
 
 def _flash_bwd(interpret, residuals, g):
-    q, k, v, bias = residuals
-    if bias is None:
-        # Blockwise Pallas backward: recompute per q-tile, accumulate dk/dv
-        # over the sequential grid. Keeps the [BH, N, N] logits out of HBM
-        # (at ViT-B 392^2 bs16 the einsum backward's two fp32 logits buffers
-        # alone are >1 GB and OOM'd the chip).
-        return (*_flash_bwd_impl(q, k, v, g, interpret), None)
+    q, k, v, bias, bias_perturbed = residuals
+    if not bias_perturbed:
+        # Blockwise Pallas backward: recompute per q-tile (bias included),
+        # accumulate dk/dv over the sequential grid. Keeps the [BH, N, N]
+        # logits out of HBM (at ViT-B 392^2 bs16 the einsum backward's two
+        # fp32 logits buffers alone are >1 GB and OOM'd the chip).
+        dq, dk, dv = _flash_bwd_impl(q, k, v, g, interpret, bias=bias)
+        dbias = None
+        if bias is not None:
+            from jax.custom_derivatives import SymbolicZero
 
-    # Bias path (window masks / packed segments): einsum recompute. The bias
-    # here is a constant mask, but vjp handles the general case.
+            dbias = SymbolicZero(jax.core.ShapedArray(bias.shape, bias.dtype))
+        return dq, dk, dv, dbias
+
+    # Trainable bias (not used by the built-in masks): einsum recompute —
+    # the only path that materializes [BH, N, N], and the only one that
+    # needs a real dbias.
     def f(q, k, v, bias):
         return _reference_attention(q, k, v, bias)
 
@@ -294,7 +333,7 @@ def _flash_bwd(interpret, residuals, g):
     return dq, dk, dv, dbias
 
 
-_flash.defvjp(_flash_fwd, _flash_bwd)
+_flash.defvjp(_flash_fwd, _flash_bwd, symbolic_zeros=True)
 
 
 def mha_flash(
