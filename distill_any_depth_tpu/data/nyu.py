@@ -11,8 +11,11 @@ silently *fails* on NYU tensors and feeds raw 0-255 images to the network
 with ImageNet statistics by default; pass ``raw_255=True`` to reproduce the
 reference behavior bit-for-bit for trajectory-parity experiments.
 
-Output layout is NHWC float32 numpy; batching is a simple iterator — host IO
-overlaps device compute via double-buffered prefetch in train/loop.
+Output layout is NHWC float32 numpy. ``iterate_batches`` shards the epoch
+round-robin across processes (multi-host DP does no duplicate work, every
+shard yields the same step count) and prefetches decoded batches on a
+background thread so host IO overlaps device compute — the same contract as
+the native C++ loader (native/dad_loader.cpp).
 """
 from __future__ import annotations
 
@@ -124,16 +127,81 @@ def iterate_batches(
     seed: int = 0,
     drop_remainder: bool = True,
     indices: list[int] | None = None,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    prefetch: int = 2,
 ):
-    """Yield dict batches {'image': [B,H,W,3], 'depth': [B,H,W]}."""
+    """Yield dict batches {'image': [B,H,W,3], 'depth': [B,H,W]}.
+
+    Multi-host: ``shard_index``/``num_shards`` round-robin split the (seeded,
+    hence host-consistent) global order, truncated so every shard yields the
+    SAME number of batches (unequal counts deadlock SPMD collectives).
+
+    ``prefetch`` > 0 decodes that many batches ahead on a daemon thread, so
+    host IO overlaps device compute (matching the native C++ loader's
+    behavior); 0 disables for deterministic single-thread tests.
+    """
     idx = np.asarray(indices if indices is not None else range(len(dataset)))
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
+    if num_shards > 1:
+        per = len(idx) // num_shards
+        idx = idx[shard_index::num_shards][:per]
     n = (len(idx) // batch_size) * batch_size if drop_remainder else len(idx)
-    for start in range(0, n, batch_size):
-        chunk = [dataset[int(i)] for i in idx[start : start + batch_size]]
-        yield {
-            "image": np.stack([s.image for s in chunk]),
-            "depth": np.stack([s.depth for s in chunk]),
-            "rgb_path": [s.rgb_path for s in chunk],
-        }
+
+    def produce():
+        for start in range(0, n, batch_size):
+            chunk = [dataset[int(i)] for i in idx[start : start + batch_size]]
+            yield {
+                "image": np.stack([s.image for s in chunk]),
+                "depth": np.stack([s.depth for s in chunk]),
+                "rgb_path": [s.rgb_path for s in chunk],
+            }
+
+    if prefetch <= 0:
+        yield from produce()
+        return
+
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+    sentinel = object()
+    errors: list[BaseException] = []
+
+    def worker():
+        try:
+            for b in produce():
+                # bounded put with a stop check: an abandoned consumer must
+                # not leave the thread blocked holding decoded batches
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surface decode errors to the consumer
+            errors.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=worker, daemon=True, name="nyu-prefetch")
+    t.start()
+    try:
+        while True:
+            b = q.get()
+            if b is sentinel:
+                if errors:
+                    raise errors[0]
+                return
+            yield b
+    finally:
+        stop.set()

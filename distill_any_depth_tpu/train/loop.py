@@ -135,9 +135,15 @@ class Trainer:
         max_steps: int | None = None,
         profile_dir: str | None = None,
         profile_steps: int = 3,
+        steps_per_epoch: int | None = None,
     ) -> dict:
         """Train. ``train_batches(epoch)`` yields dicts with 'image' (and
-        optionally 'global_image'/'local_image'). Returns a history dict."""
+        optionally 'global_image'/'local_image'). Returns a history dict.
+
+        ``steps_per_epoch`` makes resume DATA-EXACT: a resumed run fast-
+        forwards to epoch ``step // steps_per_epoch`` and skips
+        ``step % steps_per_epoch`` batches of that epoch, so it continues the
+        exact data order instead of re-seeing early-epoch batches."""
         cfg = self.cfg
         os.makedirs(cfg.output_dir, exist_ok=True)
         tp = tuple(self.teacher_params)
@@ -154,10 +160,31 @@ class Trainer:
             profiling = True
         profile_until = step + profile_steps
 
+        start_epoch, skip_batches = 0, 0
+        if step > 0:
+            if steps_per_epoch:
+                start_epoch = step // steps_per_epoch
+                skip_batches = step % steps_per_epoch
+                logger.info(
+                    "resuming at step %d -> epoch %d, skipping %d batches",
+                    step, start_epoch, skip_batches,
+                )
+            else:
+                logger.warning(
+                    "resuming at step %d without steps_per_epoch: optimizer "
+                    "state is exact but the data order restarts at epoch 0",
+                    step,
+                )
+
         try:
-            for epoch in range(cfg.num_epochs):
+            for epoch in range(start_epoch, cfg.num_epochs):
                 epoch_loss, nbatches = None, 0
-                for batch in train_batches(epoch):
+                batches = train_batches(epoch)
+                if epoch == start_epoch and skip_batches:
+                    import itertools as _it
+
+                    batches = _it.islice(batches, skip_batches, None)
+                for batch in batches:
                     if max_steps and step >= max_steps:
                         break
                     if self.train_step is None:
@@ -360,18 +387,30 @@ def train_nyu(
     rng.shuffle(indices)
     val_idx, train_idx = indices[:n_val], indices[n_val:]
 
+    # multi-host: shard the epoch like the native loader does (the seeded
+    # shuffle is host-consistent, so round-robin shards are disjoint)
+    from distill_any_depth_tpu.parallel import launch
+
+    shard_kw = dict(
+        shard_index=launch.process_index(), num_shards=launch.process_count()
+    )
+
     trainer = Trainer(cfg)
     if resume:
         trainer.resume(resume)
     return trainer.run(
+        steps_per_epoch=(len(train_idx) // launch.process_count()) // cfg.batch_size,
         train_batches=lambda epoch: iterate_batches(
-            ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, indices=train_idx
+            ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+            indices=train_idx, **shard_kw,
         ),
         val_batches=(
-            (lambda: iterate_batches(ds, cfg.batch_size, shuffle=False, indices=val_idx))
-            # < batch_size val samples would yield ZERO batches (the
-            # iterator drops remainders) and an empty validation pass
-            if len(val_idx) >= cfg.batch_size
+            (lambda: iterate_batches(
+                ds, cfg.batch_size, shuffle=False, indices=val_idx, **shard_kw
+            ))
+            # < batch_size val samples PER SHARD would yield ZERO batches
+            # (the iterator drops remainders) and an empty validation pass
+            if len(val_idx) // launch.process_count() >= cfg.batch_size
             else None
         ),
         max_steps=cfg.num_iterations or None,
@@ -422,6 +461,7 @@ def train_images(cfg: TrainConfig, image_dir: str | None = None,
         val_batches=(lambda: batches(val_idx)) if n_val >= cfg.batch_size else None,
         max_steps=cfg.num_iterations or None,
         profile_dir=profile_dir,
+        steps_per_epoch=len(train_idx) // cfg.batch_size,
     )
 
 
@@ -499,11 +539,16 @@ def _prepare_nyu_native(cfg: TrainConfig, root_dir: str | None):
         if resume:
             trainer.resume(resume)
         try:
+            # NOTE: the native stream wraps epochs internally, so the
+            # fast-forward keeps the step->epoch bookkeeping right but the
+            # stream order itself restarts; exact-order resume needs the
+            # Python loader (iterate_batches is epoch-seeded).
             return trainer.run(
                 train_batches=lambda epoch: train_loader.batches(steps_per_epoch),
                 val_batches=make_val_batches if val_steps else None,
                 max_steps=cfg.num_iterations or None,
                 profile_dir=profile_dir,
+                steps_per_epoch=steps_per_epoch,
             )
         finally:
             train_loader.close()

@@ -107,3 +107,62 @@ def test_train_images_path(tmp_path):
     assert np.isfinite(hist["train_loss"][0])
     # global view differs from local view -> LG loss is non-trivial here
     assert os.path.exists(tmp_path / "out" / "student_final.safetensors")
+
+
+def test_resume_continues_exact_data_order(tmp_path):
+    """With steps_per_epoch, a resumed Trainer.run fast-forwards to the
+    right epoch and skips the already-consumed batches of that epoch — the
+    resumed run sees exactly the batches the uninterrupted run would have."""
+    from distill_any_depth_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(
+        student=tiny_model_cfg("tiny-res-s"),
+        teachers=(),
+        loss=LossConfig(use_hdn=False),
+        optimizer=OptimizerConfig(total_steps=100),
+        batch_size=1, image_size=56, num_epochs=4, val_split=0.0,
+        checkpoint_interval=0, log_interval=100, visualize_interval=0,
+        output_dir=str(tmp_path / "out"),
+        student_compute_dtype="float32",
+    )
+    # one stand-in teacher so the step compiles (same tiny arch)
+    from distill_any_depth_tpu import configs
+
+    configs.MODELS["tiny-res-t"] = tiny_model_cfg("tiny-res-t")
+    try:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, teachers=("tiny-res-t",))
+        rng = np.random.RandomState(0)
+        data = rng.rand(3, 56, 56, 3).astype(np.float32)  # 3 batches/epoch
+
+        def make_batches(log):
+            def train_batches(epoch):
+                for i in range(3):
+                    log.append((epoch, i))
+                    yield {"image": data[i][None]}
+            return train_batches
+
+        # uninterrupted run: 4 epochs x 3 steps
+        full_log = []
+        t1 = Trainer(cfg)
+        t1.run(make_batches(full_log), max_steps=12, steps_per_epoch=3)
+
+        # interrupted at step 5, resumed: must continue at (epoch 1, batch 2)
+        part_log = []
+        t2 = Trainer(cfg)
+        t2.run(make_batches(part_log), max_steps=5, steps_per_epoch=3)
+        resumed_log = []
+        t3 = Trainer(cfg)
+        t3.state = t2.state
+        t3.run(make_batches(resumed_log), max_steps=12, steps_per_epoch=3)
+
+        # the producer logs every batch it YIELDS, including the 2 the
+        # resume fast-forward skips via islice — drop those to get what the
+        # resumed run actually trained on
+        consumed = part_log[:5]
+        resumed_consumed = resumed_log[2:]
+        assert resumed_consumed[0] == (1, 2)
+        assert consumed + resumed_consumed == full_log
+    finally:
+        del configs.MODELS["tiny-res-t"]
