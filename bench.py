@@ -1,11 +1,16 @@
-"""Benchmark: ViT-B student 392^2 depth inference throughput on one TPU chip.
+"""Benchmark: ViT-B 392^2 on one TPU chip — depth-inference throughput and
+the full ViT-L -> ViT-B distillation train step.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric ({"metric", "value", "unit", "vs_baseline"});
+the LAST line is the headline inference metric the driver parses.
 
-Baseline: the PyTorch reference (DepthAnythingV2 vitb, 392^2, fp32, eval mode,
-batch 1) measured on this image's host CPU: 0.515 img/s (1941.8 ms/img,
-1 vCPU, torch 2.x, 2026-08-16). The BASELINE.md target is >=5x that
-(>=2.58 img/s); vs_baseline reports the measured multiple.
+Baselines, both measured on this image's host CPU (1 vCPU, torch 2.x,
+2026-08-16):
+- inference: PyTorch reference DepthAnythingV2 vitb, 392^2, fp32, eval,
+  batch 1 -> 0.515 img/s (1941.8 ms/img). BASELINE.md target is >=5x.
+- distill step: the reference batch-loop body (two student forwards, ViT-L
+  teacher no_grad, 5-loss combine with HDN dr/3, clip, Adam) at bs16 392^2
+  fp32 -> see TORCH_CPU_DISTILL_STEPS_S (scripts/measure_torch_train_baseline.py).
 """
 from __future__ import annotations
 
@@ -15,10 +20,97 @@ import time
 import numpy as np
 
 TORCH_CPU_BASELINE_IMG_S = 0.515
+# measured 2026-08-16 via scripts/measure_torch_train_baseline.py:
+# 1178.9 s/step (second step, after warmup), bs16 392^2 fp32, 1 thread
+TORCH_CPU_DISTILL_STEPS_S = 1.0 / 1178.9
 BATCH = 8
 SIZE = 392
 WARMUP = 3
 ITERS = 10
+TRAIN_BATCH = 16
+TRAIN_CHAIN = 5
+
+
+def _rtt() -> float:
+    """Measure the host<->device scalar-fetch round trip (the tunnel adds
+    ~25 ms; block_until_ready returns early on this backend, only a value
+    fetch truly syncs)."""
+    import jax.numpy as jnp
+
+    s = jnp.float32(1.0)
+    float(s + 1)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(s + 1)
+    return (time.perf_counter() - t0) / 5
+
+
+def bench_train(rtt: float) -> None:
+    """Full distillation step: ViT-L teacher (bf16) -> ViT-B student (bf16
+    compute, fp32 params/optimizer), bs16 392^2, NYU shared-view path,
+    default loss stack (hybrid norm + HDN dr/3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distill_any_depth_tpu.configs import LossConfig, OptimizerConfig
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.train.state import create_train_state
+    from distill_any_depth_tpu.train.step import make_train_step
+
+    student = create_model("depthanything-base", dtype=jnp.bfloat16)
+    teacher = create_model("depthanything-large", dtype=jnp.bfloat16)
+    sp = init_params(student, 0, image_size=SIZE)
+    tp = init_params(teacher, 1, image_size=SIZE)
+    state, tx = create_train_state(
+        sp, OptimizerConfig(lr=5e-6, warmup_steps=0, schedule="none",
+                            total_steps=10_000)
+    )
+    step = make_train_step(
+        lambda p, x: student.apply({"params": p}, x.astype(jnp.bfloat16)),
+        [lambda p, x: teacher.apply({"params": p}, x.astype(jnp.bfloat16))],
+        tx, LossConfig(), seed=0, views_shared=True,
+    )
+
+    @jax.jit
+    def train_chain(state, teacher_params, x):
+        # Chain TRAIN_CHAIN steps on-device (state carries the dependency);
+        # per-call dispatch through the tunnel would otherwise distort
+        # sub-second step times.
+        def body(st, _):
+            st, metrics = step(st, teacher_params, x, x)
+            return st, metrics["total"]
+
+        st, totals = jax.lax.scan(body, state, None, length=TRAIN_CHAIN)
+        return st, totals[-1]
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(TRAIN_BATCH, SIZE, SIZE, 3), jnp.float32)
+
+    new_state, total = train_chain(state, (tp,), x)  # compile + warm
+    assert np.isfinite(float(total)), float(total)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, total = train_chain(state, (tp,), x)
+        float(total)  # value fetch = real sync
+        times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / TRAIN_CHAIN)
+    dt = float(np.min(times))
+    steps_s = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vitl_to_vitb_distill_step_bs16_392",
+                "value": round(steps_s, 3),
+                "unit": "steps/sec/chip",
+                "vs_baseline": (
+                    round(steps_s / TORCH_CPU_DISTILL_STEPS_S, 2)
+                    if TORCH_CPU_DISTILL_STEPS_S
+                    else None
+                ),
+            }
+        ),
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -26,6 +118,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from distill_any_depth_tpu.models.factory import create_model, init_params
+
+    rtt = _rtt()
+    bench_train(rtt)
 
     model = create_model("depthanything-base", dtype=jnp.bfloat16)
     params = init_params(model, 0, image_size=SIZE)
@@ -59,14 +154,6 @@ def main() -> None:
     # warm up and validate a single forward (full host fetch)
     out = np.asarray(forward(params, x))
     assert out.shape == (BATCH, SIZE, SIZE) and np.isfinite(out).all()
-
-    # measure the host<->device round-trip to subtract it from chain times
-    s = jnp.float32(1.0)
-    float(s + 1)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(s + 1)
-    rtt = (time.perf_counter() - t0) / 5
 
     float(forward_chain(params, x))  # compile + warm
     times = []

@@ -222,3 +222,55 @@ def test_per_component_model_gradients_match(component):
     )
     np.testing.assert_allclose(g_mine, g_torch, rtol=1e-3,
                                err_msg=f"{component} model gradient")
+
+
+def test_bf16_student_trajectory_tracks_fp32():
+    """The default student_compute_dtype=bfloat16 must track the fp32
+    trajectory: same weights/batches, 3 steps, loss components within bf16
+    tolerance and a converging (finite, same-scale) gradient norm."""
+    cfg = MODELS["depthanything-small"]
+    student32 = create_model(cfg, attn_impl="reference")
+    student16 = create_model(cfg, dtype=jnp.bfloat16, attn_impl="reference")
+    teacher = create_model(cfg, dtype=jnp.bfloat16, attn_impl="reference")
+
+    from distill_any_depth_tpu.models.factory import init_params
+
+    sp = init_params(student32, 0, image_size=SIZE)
+    tp = init_params(teacher, 1, image_size=SIZE)
+
+    opt_cfg = OptimizerConfig(
+        lr=LR, weight_decay=WD, warmup_steps=0, schedule="none",
+        total_steps=100, max_grad_norm=1.0, skip_nonfinite_updates=False,
+    )
+    loss_cfg = LossConfig(normalization=NORM, use_hdn=True, hdn_variant="dr",
+                          hdn_level=3)
+
+    def run(student, dtype):
+        state, tx = create_train_state(
+            jax.tree_util.tree_map(jnp.array, sp), opt_cfg
+        )
+        step = make_train_step(
+            lambda p, x: student.apply({"params": p}, x.astype(dtype)),
+            [lambda p, x: teacher.apply({"params": p}, x.astype(jnp.bfloat16))],
+            tx, loss_cfg, seed=0,
+        )
+        rng = np.random.RandomState(0)
+        out = []
+        for _ in range(3):
+            xg = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.float32)
+            xl = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.float32)
+            state, metrics = step(state, (tp,), xg, xl)
+            out.append({k: float(v) for k, v in metrics.items()})
+        return out
+
+    traj32 = run(student32, jnp.float32)
+    traj16 = run(student16, jnp.bfloat16)
+    for m32, m16 in zip(traj32, traj16):
+        for key in ("sc", "lg", "feat", "grad", "hdn", "total"):
+            assert np.isfinite(m16[key])
+            np.testing.assert_allclose(
+                m16[key], m32[key], rtol=0.1, atol=5e-3,
+                err_msg=f"bf16 vs fp32 loss {key}",
+            )
+        # grad norms same scale (bf16 rounding moves individual grads more)
+        assert 0.5 < (m16["grad_norm"] + 1e-8) / (m32["grad_norm"] + 1e-8) < 2.0
