@@ -19,15 +19,22 @@ import numpy as np
 
 
 def argument_parser() -> argparse.ArgumentParser:
+    from distill_any_depth_tpu.configs import MODELS
+
     p = argparse.ArgumentParser(description="Run single-image depth estimation.")
     p.add_argument("--arch_name", default="depthanything-large",
-                   choices=["depthanything-small", "depthanything-base",
-                            "depthanything-large"])
+                   choices=sorted(MODELS))
     p.add_argument("--checkpoint", required=False, default=None,
                    help="safetensors checkpoint (reference layout); random init if omitted")
     p.add_argument("--input", default="data/input", help="image file or directory")
     p.add_argument("--output_dir", required=True)
-    p.add_argument("--processing_res", type=int, default=392)
+    p.add_argument(
+        "--processing_res", type=int, default=392,
+        help="square processing resolution; 0 = keep each image's native "
+        "resolution snapped to the multiple-of-14 grid (the reference CLI's "
+        "intended default — its own 0-path computes a 0x0 resize, "
+        "tools/testers/infer.py:38,172 + transform.get_size)",
+    )
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--cmap", default="Spectral_r")
     return p
@@ -60,11 +67,39 @@ def main(args=None) -> list[str]:
         params = jax.tree_util.tree_map(jnp.asarray, params)
     else:
         logging.warning("no checkpoint: using random init (smoke-test mode)")
-        params = init_params(model, 0, image_size=args.processing_res)
+        params = init_params(
+            model, 0, image_size=args.processing_res if args.processing_res > 0 else 392
+        )
 
     forward = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
 
-    transform = standard_transform(args.processing_res, keep_aspect_ratio=False)
+    from distill_any_depth_tpu.data.transforms import (
+        Compose,
+        NormalizeImage,
+        PrepareForNet,
+        Resize,
+    )
+
+    fixed_transform = (
+        standard_transform(args.processing_res, keep_aspect_ratio=False)
+        if args.processing_res > 0
+        else None
+    )
+
+    def make_transform(h: int, w: int):
+        if fixed_transform is not None:
+            return fixed_transform
+        # native resolution: target = the image's own size, run through the
+        # same lower_bound/multiple-of-14 sizing contract (jit caches one
+        # program per resulting shape)
+        return Compose([
+            Resize(
+                w, h, resize_target=False, keep_aspect_ratio=False,
+                ensure_multiple_of=14, resize_method="lower_bound",
+            ),
+            NormalizeImage(),
+            PrepareForNet(),
+        ])
     paths = (
         sorted(glob(os.path.join(args.input, "*")))
         if os.path.isdir(args.input)
@@ -87,7 +122,7 @@ def main(args=None) -> list[str]:
             continue
         rgb = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         h, w = rgb.shape[:2]
-        x = transform({"image": rgb})["image"]
+        x = make_transform(h, w)({"image": rgb})["image"]
         pred = forward(params, jnp.asarray(x[None], model.dtype))
         pred = np.asarray(pred, np.float32)[0]
 

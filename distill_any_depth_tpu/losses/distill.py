@@ -58,6 +58,7 @@ def combined_distillation_loss(
     teacher_local_feat: jnp.ndarray | None = None,
     valid_mask: jnp.ndarray | None = None,
     feat_loss: jnp.ndarray | None = None,
+    weights: dict | None = None,
 ):
     """Full loss stack; returns (total, components dict).
 
@@ -71,7 +72,13 @@ def combined_distillation_loss(
     a precomputed ``feat_loss`` scalar (the multi-teacher path computes it
     inside the lax.switch branch because teachers may have different embed
     dims).
+
+    ``weights`` optionally overrides the ``lambda_*`` combination weights
+    with TRACED scalars (keys ``sc``/``lg``/``feat``/``grad``/``hdn``) — the
+    loss-weight tuner sweeps a lambda grid through ONE compiled step this
+    way instead of paying a full recompile per combination.
     """
+    w = weights or {}
     sc = distillation_loss(
         student_local_depth, teacher_local_depth, cfg.normalization, cfg.num_segments
     )
@@ -86,10 +93,10 @@ def combined_distillation_loss(
 
     components = {"sc": sc, "lg": lg, "feat": feat, "grad": grad}
     total = (
-        cfg.lambda_sc * sc
-        + cfg.lambda_lg * lg
-        + cfg.lambda_feat * feat
-        + cfg.lambda_grad * grad
+        w.get("sc", cfg.lambda_sc) * sc
+        + w.get("lg", cfg.lambda_lg) * lg
+        + w.get("feat", cfg.lambda_feat) * feat
+        + w.get("grad", cfg.lambda_grad) * grad
     )
     if cfg.use_hdn:
         contexts = _CONTEXT_FNS[cfg.hdn_variant](
@@ -97,6 +104,6 @@ def combined_distillation_loss(
         )
         hdn = hdn_loss(student_local_depth, teacher_local_depth, contexts)
         components["hdn"] = hdn
-        total = total + cfg.lambda_hdn * hdn
+        total = total + w.get("hdn", cfg.lambda_hdn) * hdn
     components["total"] = total
     return total, components

@@ -38,6 +38,7 @@ def _loss_fn(
     global_image: jnp.ndarray,
     local_image: jnp.ndarray,
     views_shared: bool = False,
+    loss_weights: dict | None = None,
 ):
     from distill_any_depth_tpu.losses.feature import feature_distillation_loss
 
@@ -80,7 +81,7 @@ def _loss_fn(
 
     total, components = combined_distillation_loss(
         loss_cfg, s_global_depth, s_local_depth, s_local_feat, t_depth,
-        feat_loss=feat_loss,
+        feat_loss=feat_loss, weights=loss_weights,
     )
     return total, components
 
@@ -109,7 +110,11 @@ def make_train_step(
     the redundant second student forward — ~40% of student compute.
     """
 
-    def step(state: TrainState, teacher_params, global_image, local_image):
+    def step(state: TrainState, teacher_params, global_image, local_image,
+             loss_weights=None):
+        # loss_weights: optional dict of TRACED lambda scalars (keys
+        # sc/lg/feat/grad/hdn) overriding loss_cfg — one compiled step
+        # serves a whole loss-weight sweep (train/tuner.py).
         teacher_idx = jax.random.randint(
             jax.random.fold_in(jax.random.PRNGKey(seed), state.step),
             (),
@@ -123,6 +128,7 @@ def make_train_step(
                 teacher_applies,
                 loss_cfg,
                 views_shared=views_shared,
+                loss_weights=loss_weights,
             ),
             has_aux=True,
         )(state.params, teacher_params, teacher_idx, global_image, local_image)
@@ -160,7 +166,8 @@ def make_eval_loss_fn(
     """Validation loss (reference validate(), :818-1071): same stack, random
     teacher per call keyed by a step argument, no gradients."""
 
-    def eval_loss(params, teacher_params, step, global_image, local_image):
+    def eval_loss(params, teacher_params, step, global_image, local_image,
+                  loss_weights=None):
         teacher_idx = jax.random.randint(
             jax.random.fold_in(jax.random.PRNGKey(seed), step),
             (),
@@ -177,6 +184,7 @@ def make_eval_loss_fn(
             global_image,
             local_image,
             views_shared=views_shared,
+            loss_weights=loss_weights,
         )
         return components
 

@@ -2,7 +2,7 @@
 # 10-iteration smoke training run (reference: scripts/test_training.sh).
 set -euo pipefail
 OUTPUT_DIR=${OUTPUT_DIR:-output/smoke}
-DATASET_DIR=${DATASET_DIR:-data/nyu}
+DATASET_DIR=${DATASET_DIR:-data/smoke}
 
 python -m distill_any_depth_tpu.cli.train \
   --dataset_dir "$DATASET_DIR" --output_dir "$OUTPUT_DIR" \

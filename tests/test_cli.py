@@ -60,3 +60,27 @@ def test_evaluate_cli(tmp_path):
     assert np.isfinite(results["distilled"]["abs_rel"])
     assert (tmp_path / "report.txt").exists()
     assert (tmp_path / "report.json").exists()
+
+
+def test_infer_cli_native_resolution(tmp_path):
+    """--processing_res 0: keep each image's native resolution, snapped to
+    the multiple-of-14 grid (reference lower_bound sizing contract)."""
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    # non-square, non-multiple-of-14: 50x75 -> model input 56x84
+    cv2.imwrite(str(img_dir / "b.png"), rng.randint(0, 255, (50, 75, 3), np.uint8))
+
+    args = cli_infer.argument_parser().parse_args(
+        [
+            "--arch_name", "depthanything-small",
+            "--input", str(img_dir),
+            "--output_dir", str(tmp_path / "out0"),
+            "--processing_res", "0",
+            "--dtype", "float32",
+        ]
+    )
+    written = cli_infer.main(args)
+    assert len(written) == 1
+    out = cv2.imread(written[0])
+    assert out is not None and out.shape == (50, 75, 3)

@@ -85,3 +85,41 @@ def test_aot_export_roundtrip(tmp_path):
     want, _ = model.apply({"params": params}, x)
     got = fn(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_export_with_params_roundtrip(tmp_path):
+    """Weights-as-arguments StableHLO export: same outputs as the live
+    model, artifact much smaller than the weights it would otherwise embed
+    (the serving path for ViT-L-sized models, utils/export.py)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.utils.export import (
+        export_forward_with_params,
+        load_exported_with_params,
+    )
+    from test_train import tiny_model_cfg
+
+    cfg = tiny_model_cfg("export-args")
+    model = create_model(cfg)
+    params = init_params(model, 0, image_size=56)
+    n_weight_bytes = sum(
+        np.asarray(v).nbytes for v in jax.tree_util.tree_leaves(params)
+    )
+
+    weights = tmp_path / "weights.safetensors"
+    blob = export_forward_with_params(
+        model, params, str(weights), image_size=56, batch_size=1
+    )
+    assert weights.exists() and weights.stat().st_size >= n_weight_bytes
+    # the program must not embed the weights as constants
+    assert len(blob) < n_weight_bytes / 2, (len(blob), n_weight_bytes)
+
+    fn = load_exported_with_params(blob, str(weights))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 56, 56, 3), jnp.float32)
+    want, _ = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(want), atol=1e-5)

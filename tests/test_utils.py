@@ -121,3 +121,72 @@ def test_hdn_demo_cli():
     out = main(size=64, batch=2, seed=0)
     assert set(out) == {"dr", "dp", "ds"}
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_tuner_traced_sweep_single_compile():
+    """The traced-lambda sweep ranks combinations through ONE compiled step
+    and matches the baked-constant loss for the same lambdas."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from distill_any_depth_tpu.configs import (
+        LossConfig, OptimizerConfig, TrainConfig,
+    )
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.train.state import create_train_state
+    from distill_any_depth_tpu.train.step import make_train_step
+    from distill_any_depth_tpu.train.tuner import tune_loss_weights_traced
+    from test_train import tiny_model_cfg
+
+    tiny = tiny_model_cfg("tuner-s")
+    base = TrainConfig(
+        student=tiny, teachers=(),  # teachers built below via monkey config
+        loss=LossConfig(use_hdn=True, hdn_variant="dr", hdn_level=2),
+        optimizer=OptimizerConfig(lr=1e-3, warmup_steps=0, schedule="none",
+                                  total_steps=50),
+        batch_size=2, image_size=56, seed=0,
+        student_compute_dtype="float32",
+    )
+    # teachers: TrainConfig.teachers are MODELS names; use the student arch
+    # itself as a stand-in teacher by registering a temporary entry
+    from distill_any_depth_tpu import configs as cfg_mod
+
+    cfg_mod.MODELS["tiny-tuner-teacher"] = tiny
+    try:
+        base = dataclasses.replace(base, teachers=("tiny-tuner-teacher",))
+        rng = np.random.RandomState(0)
+        batches = [
+            {"image": rng.rand(2, 56, 56, 3).astype(np.float32)}
+            for _ in range(2)
+        ]
+        grid = {"lambda_sc": (0.25, 1.0), "lambda_hdn": (0.4,)}
+        results = tune_loss_weights_traced(
+            base, batches, batches[:1], grid=grid, steps_per_experiment=2,
+            output_dir="/tmp/tuner_traced_test",
+        )
+        assert len(results) == 2
+        assert results[0]["score"] <= results[1]["score"]
+        assert all(np.isfinite(r["score"]) for r in results)
+
+        # cross-check: traced weights == baked constants for one combo
+        student = create_model(tiny)
+        sp = init_params(student, 0, image_size=56)
+        tp = init_params(create_model(tiny), 1, image_size=56)
+        loss_cfg = dataclasses.replace(base.loss, lambda_sc=0.25, lambda_hdn=0.4)
+        _, tx = create_train_state(sp, base.optimizer)
+        apply = lambda p, x: student.apply({"params": p}, x)  # noqa: E731
+        baked = make_train_step(apply, [apply], tx, loss_cfg, seed=0)
+        traced = make_train_step(apply, [apply], tx, base.loss, seed=0)
+        x = jnp.asarray(batches[0]["image"])
+        st1, _ = create_train_state(jax.tree_util.tree_map(jnp.array, sp),
+                                    base.optimizer)
+        st1, m1 = baked(st1, (tp,), x, x)
+        st2, _ = create_train_state(jax.tree_util.tree_map(jnp.array, sp),
+                                    base.optimizer)
+        st2, m2 = traced(st2, (tp,), x, x,
+                         loss_weights={"sc": jnp.float32(0.25),
+                                       "hdn": jnp.float32(0.4)})
+        np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                                   rtol=1e-6)
+    finally:
+        del cfg_mod.MODELS["tiny-tuner-teacher"]
