@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from distill_any_depth_tpu.configs import ModelConfig
@@ -37,6 +38,86 @@ def _conv3x3(features: int, stride: int = 1, use_bias: bool = True, name: str | 
         dtype=dtype,
         name=name,
     )
+
+
+class FusedConv3x3(nn.Module):
+    """3x3/s1 conv evaluated as a phase-packed 4x4/s2 conv + depth-to-space.
+
+    Identical parameters (HWIO ``kernel`` + ``bias``, same init) and identical
+    math to ``nn.Conv(features, (3,3), padding=1)``: the 3x3 kernel is placed
+    at the 4 even/odd output-phase offsets of a 4x4/stride-2 kernel, so each
+    output block row computes all 4 phases as channels and a depth-to-space
+    restores the layout. The contraction becomes [16*C_in -> 4*C_out] —
+    MXU-shaped for the DPT tail convs whose C_out (32/64) would otherwise
+    fill a quarter of the 128 output lanes. 1.42x the FLOPs but ~1.9x faster
+    (392^2 64->32 bs8 bf16: 2.86 -> 1.48 ms;
+    scripts/profile_conv_variants.py). Odd spatial sizes fall back to the
+    plain conv.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    # With keep_phases the packed layout [B, H/2, W/2, 2, 2, C_out] is
+    # returned so the caller can apply further per-pixel ops (relu, 1x1
+    # Dense) before ``merge_phases`` — the depth-to-space relayout then
+    # moves the (small) final channel count instead of C_out.
+    keep_phases: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        k = kernel.astype(self.dtype)
+        b, h, w, _ = x.shape
+        co = self.features
+        # C_out >= 128 already fills the output lanes — the 1.42x extra FLOPs
+        # would only slow it down there.
+        if h % 2 or w % 2 or co >= 128:
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            # K'[a:a+3, p:p+3, :, (2a+p)*CO:+CO] = K for phases (a, p).
+            kp = jnp.concatenate(
+                [
+                    jnp.pad(k, ((a, 1 - a), (p, 1 - p), (0, 0), (0, 0)))
+                    for a in range(2)
+                    for p in range(2)
+                ],
+                axis=-1,
+            )
+            y = jax.lax.conv_general_dilated(
+                x, kp, (2, 2), ((1, 2), (1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y.reshape(b, h // 2, w // 2, 2, 2, co)
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            if not self.keep_phases:
+                y = merge_phases(y)
+            return y
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def merge_phases(y: jnp.ndarray) -> jnp.ndarray:
+    """[B, H/2, W/2, 2, 2, C] phase-packed -> [B, H, W, C]; identity on
+    already-merged [B, H, W, C] inputs (plain-conv fallback path)."""
+    if y.ndim == 4:
+        return y
+    b, h2, w2, _, _, c = y.shape
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h2 * 2, w2 * 2, c)
 
 
 class PatchExpand(nn.Module):
@@ -139,7 +220,9 @@ class DPTHead(nn.Module):
                 cls = cls_tokens[i][:, None, :]
                 t = jnp.concatenate([t, jnp.broadcast_to(cls, t.shape)], axis=-1)
                 t = nn.Dense(c, dtype=self.dtype, name=f"readout_{i}")(t)
-                t = nn.gelu(t, approximate=False)
+                # erf form for fp32 parity, tanh approx under bf16 (cheaper
+                # on the VPU, error below bf16 quantization — see models/vit.Mlp).
+                t = nn.gelu(t, approximate=jnp.dtype(self.dtype) == jnp.bfloat16)
             x = t.reshape(b, gh, gw, c)
             # 1x1 projection conv == Dense over the channel axis.
             x = nn.Dense(self.out_channels[i], dtype=self.dtype, name=f"projects_{i}")(x)
@@ -167,13 +250,18 @@ class DPTHead(nn.Module):
         )
         path = FeatureFusionBlock(self.features, self.dtype, name="refinenet1")(path, rn[0])
 
-        x = _conv3x3(self.features // 2, dtype=self.dtype, name="output_conv1")(path)
+        x = FusedConv3x3(self.features // 2, dtype=self.dtype, name="output_conv1")(path)
         x = resize_2d(
             x, (gh * self.patch_size, gw * self.patch_size), "bilinear", align_corners=True
         )
-        x = _conv3x3(32, dtype=self.dtype, name="output_conv2_0")(x)
+        # Keep the tail in phase-packed layout through the per-pixel relu +
+        # 1x1 conv so the final depth-to-space moves head_out_channels
+        # (usually 1) instead of 32 channels.
+        x = FusedConv3x3(32, dtype=self.dtype, keep_phases=True,
+                         name="output_conv2_0")(x)
         x = nn.relu(x)
         x = nn.Dense(self.head_out_channels, dtype=self.dtype, name="output_conv2_2")(x)
+        x = merge_phases(x)
         if self.trailing_relu:
             x = nn.relu(x)
         return x

@@ -63,3 +63,22 @@ def test_remat_model_matches_plain():
     g = jax.grad(lambda p: jnp.mean(remat.apply({"params": p}, x)[0] ** 2))(params)
     gn = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_fused_conv3x3_matches_plain_conv():
+    """FusedConv3x3's phase-packed stride-2 evaluation must be numerically
+    the plain 3x3/s1 conv (same params; only the MXU scheduling differs)."""
+    import flax.linen as nn
+
+    from distill_any_depth_tpu.models.dpt import FusedConv3x3
+
+    rng = np.random.RandomState(0)
+    for h, w, ci, co in ((28, 56, 64, 32), (27, 28, 16, 8), (14, 14, 8, 130)):
+        x = jnp.asarray(rng.rand(2, h, w, ci), jnp.float32)
+        fused = FusedConv3x3(co)
+        params = fused.init(jax.random.PRNGKey(0), x)["params"]
+        plain = nn.Conv(co, (3, 3), padding=((1, 1), (1, 1)))
+        ref = plain.apply({"params": params}, x)
+        got = fused.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
