@@ -76,11 +76,14 @@ def _pick_tiling(
         if bh % hp:
             continue
         q_block = n_pad
-        # scores dominate: hp * q_block * n_pad fp32 (+ bias tile if present)
-        while q_block > _LANE and hp * q_block * n_pad * 4 > budget:
+        # Peak live stack per head: fp32 scores (4B) + the bf16 exp buffer
+        # (2B) both live while the exp is evaluated -> 6 bytes per score
+        # element (+ bias tile if present). Exceeding this blew the 16 MB
+        # scoped-vmem limit on the ViT-L train compile.
+        while q_block > _LANE and hp * q_block * n_pad * 6 > budget:
             q_block //= 2  # n_pad is a multiple of 128, halves stay 8-aligned
         q_block = max(q_block, _LANE)
-        if hp * q_block * n_pad * 4 <= budget:
+        if hp * q_block * n_pad * 6 <= budget:
             return hp, q_block
     return 1, _LANE
 
@@ -106,12 +109,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, hp: int, n_real: int,
         # Softmax with the 1/sum deferred past the PV matmul: dividing the
         # [Bq, D] output is a D/Nk-times smaller traversal than dividing the
         # [Bq, Nk] probs (v5e, N=785 H12 D64 bs8: 349 -> 274 us;
-        # scripts/profile_softmax_variants.py).
+        # scripts/profile_softmax_variants.py). The exponentials are
+        # quantized to the input dtype immediately (the PV matmul consumed
+        # bf16 probs before this change too) so only one score-sized fp32
+        # buffer is ever live — two of them blow the 16 MB scoped-vmem
+        # stack at the trained ViT-L tiling.
         m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m).astype(q.dtype)
+        denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            e.astype(q.dtype), v,
+            e, v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
