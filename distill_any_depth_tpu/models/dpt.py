@@ -284,6 +284,7 @@ class DepthModel(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    gelu: str = "auto"  # see models/vit.Mlp
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pe_step: jnp.ndarray | None = None):
@@ -296,6 +297,7 @@ class DepthModel(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            gelu=self.gelu,
             name="pretrained",
         )(x, pe_step=pe_step)
 

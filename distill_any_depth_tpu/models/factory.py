@@ -21,9 +21,11 @@ def create_model(
     dtype: Any = jnp.float32,
     attn_impl: str = "auto",
     remat: bool = False,
+    gelu: str = "auto",
 ) -> DepthModel:
     cfg = arch_name if isinstance(arch_name, ModelConfig) else model_config(arch_name)
-    return DepthModel(cfg=cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
+    return DepthModel(cfg=cfg, dtype=dtype, attn_impl=attn_impl, remat=remat,
+                      gelu=gelu)
 
 
 def init_params(

@@ -74,17 +74,22 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: Dtype = jnp.float32
+    # "auto": exact erf form (what torch nn.GELU() computes) for fp32 —
+    # the bit-parity paths — and the tanh approximation under bf16 compute:
+    # its error (max 5e-4 abs / 2e-4 rel at |x|>0.5, measured) is below bf16
+    # quantization, while the erf lowering costs ~12x more VPU time on TPU
+    # (227us vs 18us per ViT-B MLP activation at bs8/392^2 —
+    # scripts/profile_hypotheses.py). "exact"/"tanh" force one form (tests
+    # compare bf16-tanh against fp32-tanh like-for-like).
+    gelu: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        # torch nn.GELU() defaults to the exact erf form — kept for fp32
-        # (bit-parity paths). Under bf16 compute the tanh approximation is
-        # used instead: its error (max 5e-4 abs / 2e-4 rel at |x|>0.5,
-        # measured) is below bf16 quantization, while the erf lowering costs
-        # ~12x more VPU time on TPU (227us vs 18us per ViT-B MLP activation
-        # at bs8/392^2 — scripts/profile_hypotheses.py).
-        x = nn.gelu(x, approximate=jnp.dtype(self.dtype) == jnp.bfloat16)
+        approx = self.gelu == "tanh" or (
+            self.gelu == "auto" and jnp.dtype(self.dtype) == jnp.bfloat16
+        )
+        x = nn.gelu(x, approximate=approx)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -113,6 +118,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     lora_rank: int = 0
+    band: tuple[int, int] | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -129,7 +135,8 @@ class Attention(nn.Module):
         # torch packs rows as (q|k|v, head, head_dim) — same ordering here.
         qkv = qkv.reshape(b, n, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = multi_head_attention(q, k, v, bias=bias, impl=self.attn_impl)
+        out = multi_head_attention(q, k, v, bias=bias, impl=self.attn_impl,
+                                   band=self.band)
         out = out.reshape(b, n, c)
         return dense(c, "proj")(out)
 
@@ -146,6 +153,8 @@ class Block(nn.Module):
     attn_impl: str = "auto"
     lora_rank: int = 0
     use_ssf: bool = False
+    band: tuple[int, int] | None = None
+    gelu: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -169,7 +178,8 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = maybe_ssf("ssf_norm1", y)
         y = Attention(
-            self.num_heads, self.dtype, self.attn_impl, self.lora_rank, name="attn"
+            self.num_heads, self.dtype, self.attn_impl, self.lora_rank,
+            band=self.band, name="attn"
         )(y, bias)
         y = maybe_ssf("ssf_attn", y)
         x = x + layer_scale("ls1_gamma", y)
@@ -179,7 +189,8 @@ class Block(nn.Module):
         if self.ffn == "swiglu":
             y = SwiGLU(dim, self.mlp_ratio, self.dtype, name="mlp")(y)
         else:
-            y = Mlp(int(dim * self.mlp_ratio), dim, self.dtype, name="mlp")(y)
+            y = Mlp(int(dim * self.mlp_ratio), dim, self.dtype,
+                    gelu=self.gelu, name="mlp")(y)
         y = maybe_ssf("ssf_mlp", y)
         x = x + layer_scale("ls2_gamma", y)
         return x
@@ -262,6 +273,7 @@ class DinoViT(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    gelu: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pe_step: jnp.ndarray | None = None):
@@ -341,12 +353,17 @@ class DinoViT(nn.Module):
             block = nn.remat(Block, static_argnums=())
 
         bias = None
+        band = None
         if cfg.window_size is not None:
             from distill_any_depth_tpu.ops.window import local_window_bias
 
             bias = local_window_bias(
                 gh, gw, cfg.window_size, n_prefix=n_prefix
             ).astype(self.dtype)
+            if n_prefix == 0:
+                # Prefix-less row-major grid: the flash kernel can ride the
+                # band structure and skip fully-masked kv rows.
+                band = (gw, cfg.window_size)
 
         out_set = set(cfg.out_indices)
         raw_taps: dict[int, jnp.ndarray] = {}
@@ -360,6 +377,8 @@ class DinoViT(nn.Module):
                 attn_impl=self.attn_impl,
                 lora_rank=cfg.lora_rank,
                 use_ssf=cfg.use_ssf,
+                band=band,
+                gelu=self.gelu,
                 name=f"blocks_{i}",
             )(tokens, bias)
             if i in out_set:

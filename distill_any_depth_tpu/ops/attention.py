@@ -64,14 +64,17 @@ def multi_head_attention(
     v: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     impl: str = "auto",
+    band: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
-    """Dispatch attention over ``[B, N, H, D]`` q/k/v."""
+    """Dispatch attention over ``[B, N, H, D]`` q/k/v. ``band``: see
+    ``mha_flash`` — (gw, window) when ``bias`` is a local-window mask over a
+    prefix-less row-major token grid (lets the kernel skip masked FLOPs)."""
     if impl not in ("auto", "flash", "reference"):
         raise ValueError(f"unknown attention impl {impl!r}")
     if impl == "flash" or (impl == "auto" and _use_flash(q)):
         from distill_any_depth_tpu.ops import flash_attention
 
-        return flash_attention.mha_flash(q, k, v, bias)
+        return flash_attention.mha_flash(q, k, v, bias, band=band)
     if bias is not None and bias.ndim == 2:
         bias = bias[None, None]  # [N,N] -> broadcast over (batch, heads)
     return mha_reference(q, k, v, bias)

@@ -51,6 +51,10 @@ _LANE = 128
 # per-program VMEM budget: ~16 MB on v5e, keep headroom for Mosaic's own
 # stack allocations
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+# Below this real token count the dense kernel beats the banded one even for
+# narrow windows (the online-softmax accumulation overhead; measured on v5e,
+# scripts/profile_banded.py).
+_BANDED_MIN_SEQ = 3000
 
 
 def _round_up(x: int, m: int) -> int:
@@ -78,12 +82,16 @@ def _pick_tiling(
         q_block = n_pad
         # Peak live stack per head: fp32 scores (4B) + the bf16 exp buffer
         # (2B) both live while the exp is evaluated -> 6 bytes per score
-        # element (+ bias tile if present). Exceeding this blew the 16 MB
-        # scoped-vmem limit on the ViT-L train compile.
-        while q_block > _LANE and hp * q_block * n_pad * 6 > budget:
-            q_block //= 2  # n_pad is a multiple of 128, halves stay 8-aligned
+        # element, plus the double-buffered K/V stream (+ bias tile if
+        # present). Exceeding this blew the 16 MB scoped-vmem limit on the
+        # ViT-L train compile.
+        kv_fixed = 4 * hp * n_pad * d * itemsize
+        while q_block > _LANE and hp * q_block * n_pad * 6 + kv_fixed > budget:
+            # keep the sublane dim 8-aligned (Mosaic block requirement;
+            # halving e.g. 43*128 naively lands on 172)
+            q_block = (q_block // 2 + 7) // 8 * 8
         q_block = max(q_block, _LANE)
-        if hp * q_block * n_pad * 6 <= budget:
+        if hp * q_block * n_pad * 6 + kv_fixed <= budget:
             return hp, q_block
     return 1, _LANE
 
@@ -123,6 +131,175 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, hp: int, n_real: int,
             preferred_element_type=jnp.float32,
         )
         o_ref[h] = (o / denom).astype(q.dtype)
+
+
+def _banded_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
+                   *, hp: int, n_real: int, scale: float, gw: int, half: int,
+                   gh: int, q_block: int, kv_block: int, nspan: int):
+    """Online-softmax forward over the window band.
+
+    Grid ``(bh/hp, nq, nspan)`` with the kv dimension innermost; the k/v/bias
+    index maps slide the kv window with the q block (see ``_band_bounds``), so
+    each q tile touches only ~``q_rows + window`` grid rows of K/V instead of
+    the whole sequence — windowed attention finally *skips* the masked FLOPs
+    rather than just masking them. Accumulator/max/sum live in VMEM scratch
+    across the sequential kv iterations.
+    """
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    j0, j_hi = _band_bounds_traced(i, gw=gw, half=half, gh=gh,
+                                   q_block=q_block, kv_block=kv_block)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j0 + j <= j_hi)
+    def _():
+        kv_start = (j0 + j) * kv_block
+        for h in range(hp):
+            s = jax.lax.dot_general(
+                q_ref[h], k_ref[h],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [qb, kvb]
+            s = s + bias_ref[0].astype(jnp.float32)
+            col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_real, s, -jnp.inf)
+
+            m_prev = m_ref[h]  # [qb, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            # exp(-inf - -inf) guard: fully-masked rows keep m = -inf
+            corr = jnp.exp(jnp.where(m_prev == -jnp.inf, -jnp.inf, m_prev) - m_new)
+            corr = jnp.where(jnp.isnan(corr), 0.0, corr)
+            # rows still fully masked have m_new = -inf; exp(s - 0) = 0 there
+            e = jnp.exp(
+                s - jnp.where(m_new == -jnp.inf, 0.0, m_new)
+            ).astype(q_ref.dtype)
+            l_ref[h] = l_ref[h] * corr + jnp.sum(
+                e.astype(jnp.float32), axis=-1, keepdims=True
+            )
+            pv = jax.lax.dot_general(
+                e, v_ref[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[h] = acc_ref[h] * corr + pv
+            m_ref[h] = m_new
+
+    @pl.when(j == nspan - 1)
+    def _():
+        for h in range(hp):
+            denom = l_ref[h]
+            denom = jnp.where(denom == 0.0, 1.0, denom)  # padded q rows
+            o_ref[h] = (acc_ref[h] / denom).astype(o_ref.dtype)
+
+
+def _band_bounds_traced(i, *, gw: int, half: int, gh: int, q_block: int,
+                        kv_block: int):
+    """kv block range [j0, j_hi] (inclusive) for q block ``i``.
+
+    Queries in block i cover grid rows [r0, r1]; with the reference's
+    clamped-center window (ops/window.py: center clip half..gh-1-half) the
+    allowed key rows are [clip(r0)-half, clip(r1)+half]."""
+    r0 = (i * q_block) // gw
+    r1 = ((i + 1) * q_block - 1) // gw
+    lo_c = jnp.clip(r0, half, max(gh - 1 - half, half))
+    hi_c = jnp.clip(r1, half, max(gh - 1 - half, half))
+    lo_tok = (lo_c - half) * gw
+    hi_tok = (hi_c + half + 1) * gw - 1
+    return lo_tok // kv_block, hi_tok // kv_block
+
+
+def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
+    """q/k/v: [BH, N, D] row-major over a (gh, gw) grid with NO prefix
+    tokens; band = (gw, window). bias: [1, N, N] window log-mask."""
+    bh, n, d = q.shape
+    gw, window = band
+    gh = n // gw
+    half = window // 2
+    scale = d ** -0.5
+    n_pad = _round_up(n, _LANE)
+    # Banded tiling: the VMEM footprint is per-KV-BLOCK, so q blocks can be
+    # far larger than the dense kernel's — and should be, because each q
+    # tile pays a fixed ~window-rows overlap of kv rows: bigger q tiles
+    # amortize it. kv blocks stay small so the band is tracked tightly.
+    kv_block = min(256, n_pad)
+    hp = next((x for x in (8, 4, 2, 1) if bh % x == 0), 1)
+    itemsize = q.dtype.itemsize
+    # Pallas double-buffers every streamed input block, so q/bias count
+    # twice; scores (fp32) + quantized exp are the kernel-stack part.
+    per_q_row = (
+        hp * kv_block * 6            # fp32 scores + exp buffer
+        + 2 * kv_block * 4           # bias block, double-buffered
+        + hp * d * (4 + 4 * itemsize)  # fp32 acc + double-buffered q/o
+        + hp * 8                     # m/l rows
+    )
+    kv_fixed = 4 * hp * kv_block * d * itemsize  # k+v, double-buffered
+    q_block = min(
+        int((_VMEM_BUDGET_BYTES * 0.85 - kv_fixed) / per_q_row), n_pad
+    )
+    q_block = max(q_block // 8 * 8, _LANE)
+    nq_pad = _round_up(n, q_block)
+
+    # static max span in kv blocks (+1 covers block-boundary straddle)
+    nspan = 0
+    for i in range(nq_pad // q_block):
+        r0 = (i * q_block) // gw
+        r1 = min(((i + 1) * q_block - 1) // gw, gh - 1)
+        lo = (max(min(r0, gh - 1 - half), half) - half) * gw
+        hi = (min(max(r1, half), gh - 1 - half) + half + 1) * gw - 1
+        nspan = max(nspan, hi // kv_block - lo // kv_block + 1)
+
+    def pad(x, target_n):
+        if x.shape[1] == target_n:
+            return x
+        return jnp.pad(x, ((0, 0), (0, target_n - x.shape[1]), (0, 0)))
+
+    nkv_pad = _round_up(n, kv_block)
+    qp, kp, vp = pad(q, nq_pad), pad(k, nkv_pad), pad(v, nkv_pad)
+    bias_p = jnp.pad(bias, ((0, 0), (0, nq_pad - n), (0, nkv_pad - n)))
+
+    nkv_blocks = nkv_pad // kv_block
+    bounds = functools.partial(
+        _band_bounds_traced, gw=gw, half=half, gh=gh, q_block=q_block,
+        kv_block=kv_block,
+    )
+
+    def kv_index(b, i, j):
+        j0, j_hi = bounds(i)
+        return (b, jnp.minimum(jnp.minimum(j0 + j, j_hi), nkv_blocks - 1), 0)
+
+    def bias_index(b, i, j):
+        j0, j_hi = bounds(i)
+        return (0, i, jnp.minimum(jnp.minimum(j0 + j, j_hi), nkv_blocks - 1))
+
+    kernel = functools.partial(
+        _banded_kernel, hp=hp, n_real=n, scale=scale, gw=gw, half=half,
+        gh=gh, q_block=q_block, kv_block=kv_block, nspan=nspan,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        grid=(bh // hp, nq_pad // q_block, nspan),
+        in_specs=[
+            pl.BlockSpec((hp, q_block, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((hp, kv_block, d), kv_index),
+            pl.BlockSpec((hp, kv_block, d), kv_index),
+            pl.BlockSpec((1, q_block, kv_block), bias_index),
+        ],
+        out_specs=pl.BlockSpec((hp, q_block, d), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hp, q_block, d), jnp.float32),
+            pltpu.VMEM((hp, q_block, 1), jnp.float32),
+            pltpu.VMEM((hp, q_block, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, bias_p)
+    return out[:, :n]
 
 
 def _flash_fwd_impl(q, k, v, bias, interpret: bool):
@@ -305,23 +482,29 @@ def _bwd_bias_kernel_adapter(q_ref, k_ref, v_ref, do_ref, bias_ref,
                 n_real=n_real, scale=scale, bias_ref=bias_ref)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash(q, k, v, bias, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, bias, interpret, band=None):
+    if band is not None and bias is not None:
+        return _banded_fwd_impl(q, k, v, bias, band, interpret)
     return _flash_fwd_impl(q, k, v, bias, interpret)
 
 
-def _flash_fwd(q, k, v, bias, interpret):
+def _flash_fwd(q, k, v, bias, interpret, band=None):
     # symbolic_zeros=True: args arrive as CustomVJPPrimal(value, perturbed).
     # bias.perturbed tells us whether anything differentiates the bias — for
     # the framework's constant window/segment masks it never does, so the
     # backward can stay fully in Pallas with no dbias.
     bias_value = None if bias is None else bias.value
     bias_perturbed = False if bias is None else bias.perturbed
-    out = _flash_fwd_impl(q.value, k.value, v.value, bias_value, interpret)
+    if band is not None and bias_value is not None:
+        out = _banded_fwd_impl(q.value, k.value, v.value, bias_value, band,
+                               interpret)
+    else:
+        out = _flash_fwd_impl(q.value, k.value, v.value, bias_value, interpret)
     return out, (q.value, k.value, v.value, bias_value, bias_perturbed)
 
 
-def _flash_bwd(interpret, residuals, g):
+def _flash_bwd(interpret, band, residuals, g):
     q, k, v, bias, bias_perturbed = residuals
     if not bias_perturbed:
         # Blockwise Pallas backward: recompute per q-tile (bias included),
@@ -356,10 +539,17 @@ def mha_flash(
     v: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     interpret: bool | None = None,
+    band: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Flash attention over ``[B, N, H, D]`` tensors (layout of
     models/vit.Attention). ``bias``: optional additive ``[N, N]`` or
-    ``[H, N, N]`` (e.g. local-window log-mask), broadcast over batch."""
+    ``[H, N, N]`` (e.g. local-window log-mask), broadcast over batch.
+
+    ``band=(gw, window)`` asserts the tokens are a row-major ``(N/gw, gw)``
+    grid with no prefix tokens and the bias is the clamped-center local
+    window mask of that width (ops/window.local_window_bias) — the forward
+    then runs the banded kernel that only visits the ~``q_rows + window``
+    kv rows each q tile can see, skipping the masked FLOPs entirely."""
     b, n, h, d = q.shape
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -380,5 +570,13 @@ def mha_flash(
         else:
             raise ValueError(f"bias shape {bias.shape}")
 
-    out = _flash(fold(q), fold(k), fold(v), bias_f, interpret)
+    if band is not None and (
+        n % band[0] or bias_f is None or n < _BANDED_MIN_SEQ
+    ):
+        # Prefix tokens / no mask -> dense kernel. Short sequences too: the
+        # online-softmax accumulation costs more than it saves until the
+        # band covers well under half the rows (measured: banded is 0.5-0.7x
+        # dense at N=784-1369, >2x from N~5000; scripts/profile_banded.py).
+        band = None
+    out = _flash(fold(q), fold(k), fold(v), bias_f, interpret, band)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

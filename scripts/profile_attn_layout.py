@@ -129,8 +129,62 @@ def main():
         )(qkv3, qkv3, qkv3)
         return out[:, :n].reshape(b, n, c) @ w2
 
+    def adapter_d(qkv_ref, o_ref):
+        blk = qkv_ref[0]  # [qb or n_pad? loaded per spec]
+        # blk: [q_block, 3, hp, d] for q spec; but we pass two operands:
+        # handled below — this adapter unused.
+
+    def variant_d(xx, w1, w2):
+        """Kernel reads q/k/v straight from [B, N, 3, H, D] — zero XLA
+        transposes; the per-head gather happens in VMEM."""
+        qkv = (xx @ w1).reshape(b, n, 3, h, d)
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0), (0, 0)))
+
+        def kern(q_ref, k_ref, v_ref, o_ref):
+            for hh in range(hp):
+                q_ = q_ref[0, :, 0, hh, :]
+                k_ = k_ref[0, :, 0, hh, :]
+                v_ = v_ref[0, :, 0, hh, :]
+                s = jax.lax.dot_general(
+                    q_, k_, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n, s, -jnp.inf)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m).astype(q_.dtype)
+                denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    e, v_, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[0, :, hh, :] = (o / denom).astype(o_ref.dtype)
+
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((b, nq_pad, h, d), xx.dtype),
+            grid=(b * h // hp, nq_pad // q_block),
+            in_specs=[
+                pl.BlockSpec((1, q_block, 1, hp, d),
+                             lambda bb, i: (bb // hg, i, 0, bb % hg, 0)),
+                pl.BlockSpec((1, n_pad, 1, hp, d),
+                             lambda bb, i: (bb // hg, 0, 1, bb % hg, 0)),
+                pl.BlockSpec((1, n_pad, 1, hp, d),
+                             lambda bb, i: (bb // hg, 0, 2, bb % hg, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, q_block, hp, d), lambda bb, i: (bb // hg, i, bb % hg, 0)
+            ),
+        )(qkv, qkv, qkv)
+        return out[:, :n].reshape(b, n, c) @ w2
+
     ta = timed(variant_a)
     print(f"(a) slices + transposes : {ta * 1e6:8.1f} us", flush=True)
+    try:
+        td = timed(variant_d)
+        print(f"(d) direct bn3hd reads  : {td * 1e6:8.1f} us", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"(d) FAIL {type(e).__name__}: {str(e)[:160]}")
     rb = None
     try:
         tb = timed(variant_b)

@@ -141,3 +141,58 @@ def test_flash_trainable_bias_gradient():
     db_r = jax.grad(loss_ref)(bias)
     assert float(jnp.abs(db_f).max()) > 0
     np.testing.assert_allclose(np.asarray(db_f), np.asarray(db_r), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("gh,gw,window,qmult", [(9, 9, 3, 1), (14, 14, 7, 2)])
+def test_banded_window_matches_dense(gh, gw, window, qmult):
+    """The banded (FLOP-skipping) windowed forward must match the dense
+    kernel/einsum with the same local-window bias, n_prefix=0."""
+    from distill_any_depth_tpu.ops import flash_attention as fa
+    from distill_any_depth_tpu.ops.window import local_window_bias
+
+    n = gh * gw
+    b, h, d = 2, 4, 32
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, n, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, n, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, n, h, d), jnp.float32)
+    bias = local_window_bias(gh, gw, window, n_prefix=0)
+
+    ref = mha_reference(q, k, v, bias[None, None])
+    # exercise several q-block sizes relative to the band span
+    orig = fa._pick_tiling
+    fa._pick_tiling = lambda *a, **kw: (2, 128 * qmult)
+    try:
+        banded = mha_flash(q, k, v, bias, interpret=True, band=(gw, window))
+    finally:
+        fa._pick_tiling = orig
+    np.testing.assert_allclose(
+        np.asarray(banded), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_banded_window_gradients_match():
+    from distill_any_depth_tpu.ops.window import local_window_bias
+
+    gh = gw = 9
+    window, n = 3, 81
+    b, h, d = 1, 2, 16
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(b, n, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, n, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, n, h, d), jnp.float32)
+    bias = local_window_bias(gh, gw, window, n_prefix=0)
+
+    def loss_banded(q, k, v):
+        return jnp.sum(
+            mha_flash(q, k, v, bias, interpret=True, band=(gw, window)) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, bias[None, None]) ** 2)
+
+    gb = jax.grad(loss_banded, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gb, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3)

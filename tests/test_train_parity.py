@@ -229,7 +229,12 @@ def test_bf16_student_trajectory_tracks_fp32():
     trajectory: same weights/batches, 3 steps, loss components within bf16
     tolerance and a converging (finite, same-scale) gradient norm."""
     cfg = MODELS["depthanything-small"]
-    student32 = create_model(cfg, attn_impl="reference")
+    # gelu="tanh" on the fp32 run: the bf16 default uses the tanh-approx
+    # GELU (models/vit.Mlp), and a 3-step compounded trajectory through the
+    # median/MAD loss normalizations amplifies even the 5e-4 erf-vs-tanh
+    # difference past any sane tolerance — compare like-for-like, isolating
+    # the dtype effect this test is about.
+    student32 = create_model(cfg, attn_impl="reference", gelu="tanh")
     student16 = create_model(cfg, dtype=jnp.bfloat16, attn_impl="reference")
     teacher = create_model(cfg, dtype=jnp.bfloat16, attn_impl="reference")
 
