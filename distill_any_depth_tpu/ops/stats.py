@@ -5,6 +5,13 @@ per-element CPU fallback loops, tools/train_distillation.py:449-533,578-644):
 push invalid entries to +inf, sort once, and gather at mask-count-derived
 indices. Fully vectorized over leading batch axes, O(N log N), jit-safe.
 
+Gradient routing: the sort runs under ``stop_gradient`` and only yields the
+*positions* of the order statistics; the returned values are tiny gathers
+from the ORIGINAL array. The backward pass is therefore a one-element
+scatter per row instead of a full scatter of the cotangent through the
+sort permutation — at the distillation loss's [7*16, 153k] shapes the sort
+backward dominated the whole train step before this.
+
 Semantics match torch exactly:
 
 - ``masked_median``: *lower* median — index ``(count-1)//2`` of the sorted
@@ -16,6 +23,7 @@ Semantics match torch exactly:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["masked_median", "masked_quantile", "median_all", "masked_mean"]
@@ -23,39 +31,53 @@ __all__ = ["masked_median", "masked_quantile", "median_all", "masked_mean"]
 _INF = jnp.inf
 
 
-def _sort_masked(x: jnp.ndarray, mask: jnp.ndarray):
-    """Sort last axis with invalid entries pushed to +inf; return sorted
-    values and per-row valid counts."""
-    filled = jnp.where(mask, x, _INF)
-    srt = jnp.sort(filled, axis=-1)
-    count = jnp.sum(mask, axis=-1)
-    return srt, count
+def _argsort_masked(x: jnp.ndarray, mask: jnp.ndarray | None):
+    """Permutation that sorts the last axis with invalid entries pushed to
+    +inf (no gradient flows through the sort), and per-row valid counts."""
+    filled = x if mask is None else jnp.where(mask, x, _INF)
+    n = x.shape[-1]
+    iota = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32), x.shape
+    )
+    _, perm = jax.lax.sort(
+        (jax.lax.stop_gradient(filled), iota), num_keys=1, is_stable=True,
+        dimension=-1,
+    )
+    count = None if mask is None else jnp.sum(mask, axis=-1)
+    return perm, count
+
+
+def _gather_stat(x: jnp.ndarray, perm: jnp.ndarray, idx: jnp.ndarray):
+    """x[perm[idx]] along the last axis — the differentiable read."""
+    orig = jnp.take_along_axis(perm, idx[..., None], axis=-1)
+    return jnp.take_along_axis(x, orig, axis=-1)[..., 0]
 
 
 def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Lower median of ``x[mask]`` along the last axis; 0 where count==0."""
-    srt, count = _sort_masked(x, mask)
+    perm, count = _argsort_masked(x, mask)
     idx = jnp.maximum(count - 1, 0) // 2
-    med = jnp.take_along_axis(srt, idx[..., None], axis=-1)[..., 0]
+    med = _gather_stat(x, perm, idx)
     return jnp.where(count > 0, med, 0.0)
 
 
 def median_all(x: jnp.ndarray) -> jnp.ndarray:
     """torch.median along the last axis (lower middle element)."""
-    srt = jnp.sort(x, axis=-1)
-    idx = (x.shape[-1] - 1) // 2
-    return srt[..., idx]
+    perm, _ = _argsort_masked(x, None)
+    idx = jnp.full(x.shape[:-1], (x.shape[-1] - 1) // 2, dtype=jnp.int32)
+    return _gather_stat(x, perm, idx)
 
 
 def masked_quantile(x: jnp.ndarray, mask: jnp.ndarray, q: float) -> jnp.ndarray:
     """torch.nanquantile along the last axis (linear interpolation);
     NaN where no valid entries."""
-    srt, count = _sort_masked(x, mask)
+    perm, count = _argsort_masked(x, mask)
     pos = q * (count.astype(jnp.float32) - 1.0)
+    pos = jnp.maximum(pos, 0.0)
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, x.shape[-1] - 1)
     hi = jnp.clip(jnp.ceil(pos).astype(jnp.int32), 0, x.shape[-1] - 1)
-    v_lo = jnp.take_along_axis(srt, lo[..., None], axis=-1)[..., 0]
-    v_hi = jnp.take_along_axis(srt, hi[..., None], axis=-1)[..., 0]
+    v_lo = _gather_stat(x, perm, lo)
+    v_hi = _gather_stat(x, perm, hi)
     frac = pos - jnp.floor(pos)
     val = v_lo + frac * (v_hi - v_lo)
     return jnp.where(count > 0, val, jnp.nan)
