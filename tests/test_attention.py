@@ -159,19 +159,24 @@ def test_banded_window_matches_dense(gh, gw, window, qmult):
     bias = local_window_bias(gh, gw, window, n_prefix=0)
 
     ref = mha_reference(q, k, v, bias[None, None])
-    # exercise several q-block sizes relative to the band span
+    # exercise several q-block sizes relative to the band span; drop the
+    # min-seq gate so the banded kernel actually runs at test sizes
     orig = fa._pick_tiling
+    orig_min = fa._BANDED_MIN_SEQ
     fa._pick_tiling = lambda *a, **kw: (2, 128 * qmult)
+    fa._BANDED_MIN_SEQ = 0
     try:
         banded = mha_flash(q, k, v, bias, interpret=True, band=(gw, window))
     finally:
         fa._pick_tiling = orig
+        fa._BANDED_MIN_SEQ = orig_min
     np.testing.assert_allclose(
         np.asarray(banded), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
 
 
 def test_banded_window_gradients_match():
+    from distill_any_depth_tpu.ops import flash_attention as fa
     from distill_any_depth_tpu.ops.window import local_window_bias
 
     gh = gw = 9
@@ -191,7 +196,12 @@ def test_banded_window_gradients_match():
     def loss_ref(q, k, v):
         return jnp.sum(mha_reference(q, k, v, bias[None, None]) ** 2)
 
-    gb = jax.grad(loss_banded, argnums=(0, 1, 2))(q, k, v)
+    orig_min = fa._BANDED_MIN_SEQ
+    fa._BANDED_MIN_SEQ = 0
+    try:
+        gb = jax.grad(loss_banded, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa._BANDED_MIN_SEQ = orig_min
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, r in zip(gb, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
