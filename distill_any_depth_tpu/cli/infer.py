@@ -37,6 +37,13 @@ def argument_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--cmap", default="Spectral_r")
+    p.add_argument(
+        "--batch_size", type=int, default=8,
+        help="images per forward at a fixed --processing_res (native-res "
+        "mode runs one image at a time; shapes differ). With more than one "
+        "local device the batch is additionally sharded over a data-parallel "
+        "jax.sharding.Mesh — one process drives all chips.",
+    )
     return p
 
 
@@ -114,7 +121,58 @@ def main(args=None) -> list[str]:
     out_dir = os.path.join(args.output_dir, "image_logs")
     os.makedirs(out_dir, exist_ok=True)
 
+    # Fixed-resolution batching + local-mesh data parallelism: one process,
+    # one jitted program, batch axis sharded over every local chip (the
+    # reference instead spawned one process per GPU and ran the same glob on
+    # each, infer.py:169,187-193).
+    batch = max(args.batch_size, 1) if fixed_transform is not None else 1
+    shard = None
+    if batch > 1:
+        n_dev = jax.local_device_count()
+        if n_dev > 1:
+            from distill_any_depth_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicate,
+            )
+
+            batch = -(-batch // n_dev) * n_dev  # round up to a full mesh row
+            mesh = make_mesh(dp=n_dev, model=1, devices=jax.local_devices())
+            params = replicate(mesh, params)
+            shard = batch_sharding(mesh)
+            logging.info("data-parallel inference over %d devices, batch %d",
+                         n_dev, batch)
+
+    def save_one(i, path, pred, h, w):
+        disp = normalize_disparity(pred)
+        colored = colorize_depth_maps(disp[None], 0, 1, cmap=args.cmap)[0]
+        colored = (chw2hwc(colored) * 255).astype(np.uint8)
+        colored = cv2.resize(colored, (w, h), interpolation=cv2.INTER_LINEAR)
+        # name by input stem: shard-local indices would collide across ranks
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(out_dir, f"depth_{stem}.jpg")
+        Image.fromarray(colored).save(out_path)
+        logging.info("%d %s -> %s", i, path, out_path)
+        return out_path
+
     written = []
+    pending: list[tuple[int, str, np.ndarray, int, int]] = []
+
+    def flush():
+        if not pending:
+            return
+        xs = np.stack([p[2] for p in pending])
+        if len(pending) < batch:  # pad the tail batch to the compiled shape
+            pad = np.repeat(xs[-1:], batch - len(pending), axis=0)
+            xs = np.concatenate([xs, pad])
+        xj = jnp.asarray(xs, model.dtype)
+        if shard is not None:
+            xj = jax.device_put(xj, shard)
+        preds = np.asarray(forward(params, xj), np.float32)
+        for (i, path, _, h, w), pred in zip(pending, preds):
+            written.append(save_one(i, path, pred, h, w))
+        pending.clear()
+
     for i, path in enumerate(paths):
         raw = cv2.imread(path)
         if raw is None:
@@ -123,20 +181,10 @@ def main(args=None) -> list[str]:
         rgb = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         h, w = rgb.shape[:2]
         x = make_transform(h, w)({"image": rgb})["image"]
-        pred = forward(params, jnp.asarray(x[None], model.dtype))
-        pred = np.asarray(pred, np.float32)[0]
-
-        disp = normalize_disparity(pred)
-        colored = colorize_depth_maps(disp[None], 0, 1, cmap=args.cmap)[0]
-        colored = (chw2hwc(colored) * 255).astype(np.uint8)
-        colored = cv2.resize(colored, (w, h), interpolation=cv2.INTER_LINEAR)
-
-        # name by input stem: shard-local indices would collide across ranks
-        stem = os.path.splitext(os.path.basename(path))[0]
-        out_path = os.path.join(out_dir, f"depth_{stem}.jpg")
-        Image.fromarray(colored).save(out_path)
-        written.append(out_path)
-        logging.info("%d %s -> %s", i, path, out_path)
+        pending.append((i, path, x, h, w))
+        if len(pending) >= batch:
+            flush()
+    flush()
     return written
 
 

@@ -84,3 +84,65 @@ def test_infer_cli_native_resolution(tmp_path):
     assert len(written) == 1
     out = cv2.imread(written[0])
     assert out is not None and out.shape == (50, 75, 3)
+
+
+def test_infer_cli_batched_mesh(tmp_path):
+    """Batched inference with the batch sharded over the 8 virtual CPU
+    devices (conftest): 5 images through batch_size 4 -> a full batch plus a
+    padded tail batch, each image's output present and full-size."""
+    import jax
+
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(5):
+        cv2.imwrite(
+            str(img_dir / f"img{i}.png"),
+            rng.randint(0, 255, (60 + 4 * i, 90, 3), np.uint8),
+        )
+    assert jax.local_device_count() > 1  # conftest's virtual CPU mesh
+
+    args = cli_infer.argument_parser().parse_args(
+        [
+            "--arch_name", "depthanything-small",
+            "--input", str(img_dir),
+            "--output_dir", str(tmp_path / "out"),
+            "--processing_res", "98",
+            "--dtype", "float32",
+            "--batch_size", "4",
+        ]
+    )
+    written = cli_infer.main(args)
+    assert len(written) == 5
+    for i, path in enumerate(sorted(written)):
+        out = cv2.imread(path)
+        assert out is not None and out.shape == (60 + 4 * i, 90, 3), path
+
+
+def test_infer_cli_batched_matches_single(tmp_path):
+    """Batched sharded inference must produce the same depth JPEGs as the
+    one-image-at-a-time path."""
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    rng = np.random.RandomState(2)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"x{i}.png"),
+                    rng.randint(0, 255, (70, 84, 3), np.uint8))
+
+    outs = {}
+    for tag, bs in (("single", "1"), ("batched", "4")):
+        args = cli_infer.argument_parser().parse_args(
+            [
+                "--arch_name", "depthanything-small",
+                "--input", str(img_dir),
+                "--output_dir", str(tmp_path / f"out_{tag}"),
+                "--processing_res", "98",
+                "--dtype", "float32",
+                "--batch_size", bs,
+            ]
+        )
+        outs[tag] = sorted(cli_infer.main(args))
+    for a, b in zip(outs["single"], outs["batched"]):
+        ia, ib = cv2.imread(a).astype(np.int16), cv2.imread(b).astype(np.int16)
+        # identical math modulo jpeg encode of float rounding
+        assert np.abs(ia - ib).max() <= 2, (a, b)
