@@ -69,7 +69,23 @@ def main(args=None) -> list[str]:
     os.makedirs(args.output_dir, exist_ok=True)
     written = []
 
-    bs = args.batch_size
+    bs = max(args.batch_size, 1)
+    shard = None
+    n_dev = jax.local_device_count()
+    if bs > 1 and n_dev > 1:
+        # shard each batch over every local chip (same scheme as cli/infer)
+        from distill_any_depth_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            replicate,
+        )
+
+        bs = -(-bs // n_dev) * n_dev
+        mesh = make_mesh(dp=n_dev, model=1, devices=jax.local_devices())
+        params = replicate(mesh, params)
+        shard = batch_sharding(mesh)
+        logging.info("data-parallel pseudo-labeling over %d devices, batch %d",
+                     n_dev, bs)
     # pad the final batch to keep one compiled program
     for start in range(0, len(paths), bs):
         chunk = paths[start : start + bs]
@@ -90,6 +106,8 @@ def main(args=None) -> list[str]:
         while len(raws) < bs:
             raws.append(np.zeros_like(raws[0]))
         batch = jnp.asarray(np.stack(raws), jnp.uint8)
+        if shard is not None:
+            batch = jax.device_put(batch, shard)
         depth = np.asarray(forward(params, batch))[:n]
 
         for p, d in zip(chunk, depth):
