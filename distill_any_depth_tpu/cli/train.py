@@ -48,7 +48,8 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="'nyu' CSV pairs or 'images' unlabeled-folder "
                         "global/local-crop distillation")
     p.add_argument("--resume", default=None,
-                   help="orbax train_state directory to resume from")
+                   help="orbax train_state directory (or the run's "
+                   "output_dir containing one) to resume from")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of early steps")
     p.add_argument("--visualize_interval", type=int, default=500)

@@ -45,6 +45,11 @@ def save_train_state(path: str, state: Any) -> None:
 
 def restore_train_state(path: str, template: Any | None = None) -> Any:
     path = os.path.abspath(path)
+    # Accept the run's output dir as well as the orbax dir itself:
+    # Trainer saves the resumable state under <output_dir>/train_state.
+    nested = os.path.join(path, "train_state")
+    if not os.path.exists(os.path.join(path, "_METADATA")) and os.path.isdir(nested):
+        path = nested
     if template is not None:
         import orbax.checkpoint as ocp
 

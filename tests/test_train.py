@@ -164,6 +164,16 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # the Trainer layout: --resume may point at the run's output dir, which
+    # holds the orbax state under train_state/
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    ckpt_io.save_train_state(str(run_dir / "train_state"), state)
+    restored2 = ckpt_io.restore_train_state(str(run_dir), template=state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     # safetensors roundtrip through the reference layout
     st_path = str(tmp_path / "w.safetensors")
     ckpt_io.save_safetensors(st_path, sp, scfg)
