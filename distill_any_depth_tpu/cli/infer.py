@@ -36,6 +36,8 @@ def argument_parser() -> argparse.ArgumentParser:
         "tools/testers/infer.py:38,172 + transform.get_size)",
     )
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: dynamic-W8A8 encoder GEMMs (2x MXU rate on v5e)")
     p.add_argument("--cmap", default="Spectral_r")
     p.add_argument(
         "--batch_size", type=int, default=8,
@@ -68,7 +70,7 @@ def main(args=None) -> list[str]:
     logging.basicConfig(level=logging.INFO)
 
     cfg = model_config(args.arch_name)
-    model = create_model(cfg, dtype=jnp.dtype(args.dtype))
+    model = create_model(cfg, dtype=jnp.dtype(args.dtype), quant=args.quant)
     if args.checkpoint:
         params = load_safetensors(args.checkpoint, cfg)
         params = jax.tree_util.tree_map(jnp.asarray, params)

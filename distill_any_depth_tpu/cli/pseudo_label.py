@@ -25,6 +25,8 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--processing_res", type=int, default=518)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: dynamic-W8A8 encoder GEMMs (2x MXU rate on v5e)")
     p.add_argument("--save_png16", action="store_true",
                    help="also save normalized uint16 PNGs")
     return p
@@ -45,7 +47,7 @@ def main(args=None) -> list[str]:
     logging.basicConfig(level=logging.INFO)
 
     cfg = model_config(args.arch_name)
-    model = create_model(cfg, dtype=jnp.dtype(args.dtype))
+    model = create_model(cfg, dtype=jnp.dtype(args.dtype), quant=args.quant)
     if args.checkpoint:
         params = jax.tree_util.tree_map(
             jnp.asarray, load_safetensors(args.checkpoint, cfg)

@@ -236,6 +236,11 @@ class TrainConfig:
     # parallelism
     dp: int = 1  # data-parallel mesh size over ICI
     teacher_dtype: str = "bfloat16"
+    # "int8": teacher forwards run dynamic-W8A8 encoder GEMMs (2x MXU rate
+    # on v5e; ops/quant.py). Teachers are inference-only inside the step
+    # (stop_gradient), so this trades a bounded pseudo-label perturbation
+    # for a faster step. Students always train unquantized.
+    teacher_quant: str = "none"
     # bf16 student matmuls by default: the loss stack upcasts to fp32
     # (train/step.py), params/optimizer stay fp32; ~1.5x faster steps on
     # v5e with trajectory parity validated in tests/test_train_parity.py.

@@ -285,6 +285,8 @@ class DepthModel(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     gelu: str = "auto"  # see models/vit.Mlp
+    # "int8": dynamic-W8A8 encoder GEMMs, inference-only (ops/quant.py).
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pe_step: jnp.ndarray | None = None):
@@ -298,6 +300,7 @@ class DepthModel(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             gelu=self.gelu,
+            quant=self.quant,
             name="pretrained",
         )(x, pe_step=pe_step)
 

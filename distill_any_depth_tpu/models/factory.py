@@ -22,10 +22,14 @@ def create_model(
     attn_impl: str = "auto",
     remat: bool = False,
     gelu: str = "auto",
+    quant: str = "none",
 ) -> DepthModel:
+    """``quant="int8"``: run the encoder GEMMs as dynamic W8A8 int8 (2x MXU
+    rate on v5e; ops/quant.py). Inference-only — keep "none" for any model
+    that receives gradients."""
     cfg = arch_name if isinstance(arch_name, ModelConfig) else model_config(arch_name)
     return DepthModel(cfg=cfg, dtype=dtype, attn_impl=attn_impl, remat=remat,
-                      gelu=gelu)
+                      gelu=gelu, quant=quant)
 
 
 def init_params(

@@ -36,6 +36,17 @@ Dtype = Any
 _POS_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _dense(features: int, dtype: Dtype, quant: str, name: str) -> nn.Module:
+    """nn.Dense, or its dynamic-W8A8 drop-in when ``quant == "int8"``
+    (inference-only forwards; ops/quant.py). Same param names/shapes either
+    way, so checkpoints load unchanged."""
+    if quant == "int8":
+        from distill_any_depth_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
+
 class PatchEmbed(nn.Module):
     """14x14/s14 patch embedding as space-to-depth + matmul.
 
@@ -82,15 +93,16 @@ class Mlp(nn.Module):
     # scripts/profile_hypotheses.py). "exact"/"tanh" force one form (tests
     # compare bf16-tanh against fp32-tanh like-for-like).
     gelu: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.hidden_dim, self.dtype, self.quant, "fc1")(x)
         approx = self.gelu == "tanh" or (
             self.gelu == "auto" and jnp.dtype(self.dtype) == jnp.bfloat16
         )
         x = nn.gelu(x, approximate=approx)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = _dense(self.out_dim, self.dtype, self.quant, "fc2")(x)
         return x
 
 
@@ -102,15 +114,16 @@ class SwiGLU(nn.Module):
     dim: int
     mlp_ratio: float
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = int(self.dim * self.mlp_ratio)
         hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
-        x12 = nn.Dense(2 * hidden, dtype=self.dtype, name="w12")(x)
+        x12 = _dense(2 * hidden, self.dtype, self.quant, "w12")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         x = nn.silu(x1) * x2
-        return nn.Dense(self.dim, dtype=self.dtype, name="w3")(x)
+        return _dense(self.dim, self.dtype, self.quant, "w3")(x)
 
 
 class Attention(nn.Module):
@@ -119,6 +132,7 @@ class Attention(nn.Module):
     attn_impl: str = "auto"
     lora_rank: int = 0
     band: tuple[int, int] | None = None
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -130,7 +144,7 @@ class Attention(nn.Module):
 
             dense = lambda f, name: LoRADense(f, self.lora_rank, dtype=self.dtype, name=name)  # noqa: E731
         else:
-            dense = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)  # noqa: E731
+            dense = lambda f, name: _dense(f, self.dtype, self.quant, name)  # noqa: E731
         qkv = dense(3 * c, "qkv")(x)
         # torch packs rows as (q|k|v, head, head_dim) — same ordering here.
         qkv = qkv.reshape(b, n, 3, h, d)
@@ -155,6 +169,7 @@ class Block(nn.Module):
     use_ssf: bool = False
     band: tuple[int, int] | None = None
     gelu: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -179,7 +194,7 @@ class Block(nn.Module):
         y = maybe_ssf("ssf_norm1", y)
         y = Attention(
             self.num_heads, self.dtype, self.attn_impl, self.lora_rank,
-            band=self.band, name="attn"
+            band=self.band, quant=self.quant, name="attn"
         )(y, bias)
         y = maybe_ssf("ssf_attn", y)
         x = x + layer_scale("ls1_gamma", y)
@@ -187,10 +202,11 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = maybe_ssf("ssf_norm2", y)
         if self.ffn == "swiglu":
-            y = SwiGLU(dim, self.mlp_ratio, self.dtype, name="mlp")(y)
+            y = SwiGLU(dim, self.mlp_ratio, self.dtype, quant=self.quant,
+                       name="mlp")(y)
         else:
             y = Mlp(int(dim * self.mlp_ratio), dim, self.dtype,
-                    gelu=self.gelu, name="mlp")(y)
+                    gelu=self.gelu, quant=self.quant, name="mlp")(y)
         y = maybe_ssf("ssf_mlp", y)
         x = x + layer_scale("ls2_gamma", y)
         return x
@@ -274,6 +290,9 @@ class DinoViT(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     gelu: str = "auto"
+    # "int8": inference-only dynamic-W8A8 GEMMs (2x MXU rate on v5e);
+    # see ops/quant.py. Training paths must keep "none".
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pe_step: jnp.ndarray | None = None):
@@ -379,6 +398,7 @@ class DinoViT(nn.Module):
                 use_ssf=cfg.use_ssf,
                 band=band,
                 gelu=self.gelu,
+                quant=self.quant,
                 name=f"blocks_{i}",
             )(tokens, bias)
             if i in out_set:

@@ -60,7 +60,8 @@ class Trainer:
         self.teacher_params = []
         for i, name in enumerate(cfg.teachers):
             tcfg = model_config(name)
-            model = create_model(tcfg, dtype=teacher_dtype, attn_impl=cfg.attn_impl)
+            model = create_model(tcfg, dtype=teacher_dtype, attn_impl=cfg.attn_impl,
+                                 quant=cfg.teacher_quant)
             if i < len(cfg.teacher_checkpoints) and cfg.teacher_checkpoints[i]:
                 params = ckpt_io.load_safetensors(cfg.teacher_checkpoints[i], tcfg)
                 params = jax.tree_util.tree_map(jnp.asarray, params)

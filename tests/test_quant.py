@@ -1,0 +1,113 @@
+"""int8 dynamic-W8A8 path (ops/quant.py).
+
+The reference has no quantized path; this is a beyond-parity TPU feature
+(v5e int8 MXU rate is 2x bf16). Tests pin the quantization math and bound
+the model-level perturbation so the opt-in stays safe.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distill_any_depth_tpu.ops.quant import (
+    QuantDense,
+    int8_matmul,
+    quantize_cols,
+    quantize_rows,
+)
+
+
+def test_quantize_rows_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 64) * 3.0, jnp.float32)
+    xq, scale = quantize_rows(x)
+    assert xq.dtype == jnp.int8
+    recon = np.asarray(xq, np.float32) * np.asarray(scale)
+    err = np.abs(recon - np.asarray(x))
+    # symmetric rounding: error bounded by scale/2 per element
+    assert (err <= np.asarray(scale) / 2 + 1e-6).all()
+    # extremes hit +-127
+    assert np.abs(np.asarray(xq)).max() == 127
+
+
+def test_quantize_cols_per_channel():
+    rng = np.random.RandomState(1)
+    w = rng.randn(32, 16).astype(np.float32)
+    w[:, 3] *= 100.0  # an outlier column must not poison other columns
+    wq, scale = quantize_cols(jnp.asarray(w))
+    recon = np.asarray(wq, np.float32) * np.asarray(scale)[None, :]
+    rel = np.abs(recon - w).max(axis=0) / np.abs(w).max(axis=0)
+    assert (rel < 0.01).all()
+
+
+def test_int8_matmul_close_to_fp32():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(128, 256), jnp.float32)
+    w = jnp.asarray(rng.randn(256, 64) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(64), jnp.float32)
+    ref = np.asarray(x @ w + b)
+    out = np.asarray(int8_matmul(x, w, b, out_dtype=jnp.float32))
+    denom = np.abs(ref).mean()
+    assert np.abs(out - ref).mean() / denom < 0.02
+
+
+def test_quant_dense_param_tree_matches_dense():
+    """QuantDense must load nn.Dense checkpoints unchanged."""
+    import flax.linen as nn
+
+    x = jnp.ones((2, 8))
+    d = nn.Dense(4)
+    qd = QuantDense(4, dtype=jnp.float32)
+    pd = d.init(jax.random.PRNGKey(0), x)["params"]
+    pq = qd.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(pd) == jax.tree_util.tree_structure(pq)
+    for a, b in zip(jax.tree_util.tree_leaves(pd), jax.tree_util.tree_leaves(pq)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # applying QuantDense with Dense-initialized params works
+    out = qd.apply({"params": pd}, x)
+    ref = d.apply({"params": pd}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.05, atol=0.05)
+
+
+def test_model_int8_forward_close():
+    """Full depth model: int8 encoder vs fp32 encoder, same params."""
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+
+    m = create_model("depthanything-small")
+    mq = create_model("depthanything-small", quant="int8")
+    p = init_params(m, 0, image_size=112)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 112, 112, 3), jnp.float32)
+    d, f = m.apply({"params": p}, x)
+    dq, fq = mq.apply({"params": p}, x)
+    d, dq = np.asarray(d), np.asarray(dq)
+    f, fq = np.asarray(f), np.asarray(fq)
+    # backbone features stay tight; depth decodes through the (unquantized)
+    # DPT head so errors stay correlated
+    assert np.abs(fq - f).mean() / (np.abs(f).mean() + 1e-9) < 0.05
+    assert np.corrcoef(d.ravel(), dq.ravel())[0, 1] > 0.99
+
+
+def test_train_step_with_int8_teacher():
+    """A distill step with an int8 teacher runs and produces finite loss."""
+    from distill_any_depth_tpu.configs import LossConfig, OptimizerConfig
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.train.state import create_train_state
+    from distill_any_depth_tpu.train.step import make_train_step
+
+    size = 56
+    student = create_model("depthanything-small")
+    teacher = create_model("depthanything-small", quant="int8")
+    sp = init_params(student, 0, image_size=size)
+    tp = init_params(teacher, 1, image_size=size)
+    state, tx = create_train_state(
+        sp, OptimizerConfig(lr=1e-4, warmup_steps=0, schedule="none", total_steps=10)
+    )
+    step = make_train_step(
+        lambda p, x: student.apply({"params": p}, x),
+        [lambda p, x: teacher.apply({"params": p}, x)],
+        tx,
+        LossConfig(use_hdn=False),
+        seed=0,
+    )
+    x = jnp.asarray(np.random.RandomState(0).rand(2, size, size, 3), jnp.float32)
+    state, metrics = step(state, (tp,), x, x)
+    assert np.isfinite(float(metrics["total"]))
+    assert int(state.step) == 1
