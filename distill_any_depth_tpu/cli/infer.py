@@ -36,7 +36,7 @@ def argument_parser() -> argparse.ArgumentParser:
         "tools/testers/infer.py:38,172 + transform.get_size)",
     )
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    p.add_argument("--quant", default="none", choices=["none", "int8"],
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int8_pallas"],
                    help="int8: dynamic-W8A8 encoder GEMMs (2x MXU rate on v5e)")
     p.add_argument("--cmap", default="Spectral_r")
     p.add_argument(

@@ -44,7 +44,7 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--early_stopping", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--teacher_dtype", default="bfloat16")
-    p.add_argument("--teacher_quant", default="none", choices=["none", "int8"],
+    p.add_argument("--teacher_quant", default="none", choices=["none", "int8", "int8_pallas"],
                    help="int8: dynamic-W8A8 teacher GEMMs (2x MXU rate on v5e)")
     p.add_argument("--data_mode", default="nyu", choices=["nyu", "images"],
                    help="'nyu' CSV pairs or 'images' unlabeled-folder "

@@ -37,13 +37,15 @@ _POS_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _dense(features: int, dtype: Dtype, quant: str, name: str) -> nn.Module:
-    """nn.Dense, or its dynamic-W8A8 drop-in when ``quant == "int8"``
-    (inference-only forwards; ops/quant.py). Same param names/shapes either
-    way, so checkpoints load unchanged."""
-    if quant == "int8":
+    """nn.Dense, or its dynamic-W8A8 drop-in when ``quant`` is "int8"
+    (XLA lowering) or "int8_pallas" (fused-quant kernel) — inference-only
+    forwards; ops/quant.py. Same param names/shapes either way, so
+    checkpoints load unchanged."""
+    if quant in ("int8", "int8_pallas"):
         from distill_any_depth_tpu.ops.quant import QuantDense
 
-        return QuantDense(features, dtype=dtype, name=name)
+        impl = "pallas" if quant == "int8_pallas" else "xla"
+        return QuantDense(features, dtype=dtype, impl=impl, name=name)
     return nn.Dense(features, dtype=dtype, name=name)
 
 

@@ -78,12 +78,14 @@ class QuantDense(nn.Module):
     """Drop-in for ``nn.Dense`` running the GEMM as dynamic W8A8 int8.
 
     Declares the same params (``kernel`` [in, out], ``bias``) so fp32/bf16
-    checkpoints load unchanged.
+    checkpoints load unchanged. ``impl``: "xla" (separate quant pass) or
+    "pallas" (activation quant fused in VMEM, ops/quant_matmul.py).
     """
 
     features: int
     dtype: Any = jnp.bfloat16
     use_bias: bool = True
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -98,4 +100,9 @@ class QuantDense(nn.Module):
             if self.use_bias
             else None
         )
+        if self.impl == "pallas":
+            from distill_any_depth_tpu.ops.quant_matmul import w8a8_matmul
+
+            b32 = None if bias is None else bias.astype(jnp.float32)
+            return w8a8_matmul(x, kernel, b32, out_dtype=self.dtype)
         return int8_matmul(x, kernel, bias, out_dtype=self.dtype)

@@ -51,7 +51,9 @@ def _kernel(x_ref, wq_ref, ws_ref, bias_ref, o_ref, xq_ref, xs_ref, *, out_dtype
     def _():
         xf = x_ref[:].astype(jnp.float32)
         amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-        s = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
+        # exactly ops/quant.quantize_rows (same /127.0 spelling: a *(1/127)
+        # differs in the last ulp and flips round-to-even ties)
+        s = jnp.maximum(amax, _EPS) / 127.0
         xq_ref[:] = jnp.round(xf / s).astype(jnp.int8)
         xs_ref[:] = s
 
@@ -148,7 +150,7 @@ def w8a8_matmul(
     m = int(np.prod(lead)) if lead else 1
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=0)
-    ws = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
+    ws = jnp.maximum(amax, _EPS) / 127.0  # == ops/quant.quantize_cols
     wq = jnp.round(wf / ws[None, :]).astype(jnp.int8)
     bm = min(bm, _round_up(m, 32))
     bn = min(bn, _round_up(w.shape[1], 128))

@@ -67,6 +67,29 @@ def test_quant_dense_param_tree_matches_dense():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.05, atol=0.05)
 
 
+def test_pallas_w8a8_matches_xla_path():
+    """The fused-quant Pallas kernel (interpret mode on CPU) must reproduce
+    the XLA int8 path bit-for-bit — same quantization scheme, speed only."""
+    from distill_any_depth_tpu.ops.quant_matmul import w8a8_matmul
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(100, 96), jnp.float32)  # non-multiple M
+    w = jnp.asarray(rng.randn(96, 200) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(200), jnp.float32)
+    ref = np.asarray(int8_matmul(x, w, b, out_dtype=jnp.float32))
+    out = np.asarray(w8a8_matmul(x, w, b, out_dtype=jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+    # batched input, no bias, bf16 out (one-ulp tolerance: the kernel casts
+    # to bf16 once at the end; the XLA path casts before the bias add)
+    x3 = jnp.asarray(rng.randn(2, 50, 96), jnp.bfloat16)
+    o3 = w8a8_matmul(x3, w, None)
+    r3 = int8_matmul(x3, w, None)
+    assert o3.shape == (2, 50, 200) and o3.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(o3, np.float32), np.asarray(r3, np.float32), rtol=0.01, atol=0.01
+    )
+
+
 def test_model_int8_forward_close():
     """Full depth model: int8 encoder vs fp32 encoder, same params."""
     from distill_any_depth_tpu.models.factory import create_model, init_params
