@@ -17,6 +17,9 @@ ITERS = 10
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", default="teacher392,student392,teacher518")
+    ap.add_argument("--quants", default="int8",
+                    help="comma list of quant modes to compare vs bf16 "
+                         "(int8 and/or int8_pallas)")
     args = ap.parse_args()
 
     import jax
@@ -58,17 +61,20 @@ def main():
     for key in args.points.split(","):
         arch, b, size = points[key]
         mb = create_model(arch, dtype=jnp.bfloat16)
-        mq = create_model(arch, dtype=jnp.bfloat16, quant="int8")
         params = init_params(mb, 0, image_size=size)
         x = jnp.asarray(rng.rand(b, size, size, 3), jnp.bfloat16)
         t_b = timed_chain(mb, params, x)
-        t_q = timed_chain(mq, params, x)
-        print(
-            f"{key} ({arch} bs{b} {size}px): bf16 {t_b*1e3:7.2f} ms "
-            f"({b/t_b:6.1f} img/s) | int8 {t_q*1e3:7.2f} ms "
-            f"({b/t_q:6.1f} img/s) | speedup {t_b/t_q:.2f}x",
-            flush=True,
-        )
+        line = f"{key} ({arch} bs{b} {size}px): bf16 {t_b*1e3:7.2f} ms ({b/t_b:6.1f} img/s)"
+        for quant in args.quants.split(","):
+            if quant in ("", "none"):
+                continue
+            mq = create_model(arch, dtype=jnp.bfloat16, quant=quant)
+            t_q = timed_chain(mq, params, x)
+            line += (
+                f" | {quant} {t_q*1e3:7.2f} ms ({b/t_q:6.1f} img/s)"
+                f" {t_b/t_q:.2f}x"
+            )
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
