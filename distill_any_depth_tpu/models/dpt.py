@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from distill_any_depth_tpu.configs import ModelConfig
 from distill_any_depth_tpu.models.vit import DinoViT
-from distill_any_depth_tpu.ops.resize import resize_2d
+from distill_any_depth_tpu.ops.resize import resize_2d, resize_2d_packed
 
 Dtype = Any
 
@@ -77,8 +77,35 @@ class FusedConv3x3(nn.Module):
             else None
         )
         k = kernel.astype(self.dtype)
-        b, h, w, _ = x.shape
         co = self.features
+        if x.ndim == 6:
+            # Padded space-to-depth input [B, bh, bw, 2, 2, C] from
+            # ops/resize.resize_2d_packed: the 4x4/s2 phase-packed form
+            # collapses to a 2x2/s1 VALID conv over 4C channels (the halo
+            # rows/cols are baked into the blocking), i.e. pure aligned
+            # GEMMs with no [B, H, W, C] intermediate.
+            b, bh, bw, _, _, _ = x.shape
+            kp = jnp.concatenate(
+                [
+                    jnp.pad(k, ((a, 1 - a), (p, 1 - p), (0, 0), (0, 0)))
+                    for a in range(2)
+                    for p in range(2)
+                ],
+                axis=-1,
+            )
+            k2 = kp.reshape(2, 2, 2, 2, c_in, 4 * co).transpose(0, 2, 1, 3, 4, 5)
+            k2 = k2.reshape(2, 2, 4 * c_in, 4 * co)
+            y = jax.lax.conv_general_dilated(
+                x.reshape(b, bh, bw, 4 * c_in), k2, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[:, : bh - 2, : bw - 2]
+            y = y.reshape(b, bh - 2, bw - 2, 2, 2, co)
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            if not self.keep_phases:
+                y = merge_phases(y)
+            return y
+        b, h, w, _ = x.shape
         # C_out >= 128 already fills the output lanes — the 1.42x extra FLOPs
         # would only slow it down there.
         if h % 2 or w % 2 or co >= 128:
@@ -251,12 +278,16 @@ class DPTHead(nn.Module):
         path = FeatureFusionBlock(self.features, self.dtype, name="refinenet1")(path, rn[0])
 
         x = FusedConv3x3(self.features // 2, dtype=self.dtype, name="output_conv1")(path)
-        x = resize_2d(
-            x, (gh * self.patch_size, gw * self.patch_size), "bilinear", align_corners=True
-        )
+        oh, ow = gh * self.patch_size, gw * self.patch_size
         # Keep the tail in phase-packed layout through the per-pixel relu +
         # 1x1 conv so the final depth-to-space moves head_out_channels
-        # (usually 1) instead of 32 channels.
+        # (usually 1) instead of 32 channels. The upsample feeds the conv its
+        # padded space-to-depth blocking directly (even sizes — always, for
+        # patch 14), so no [B, oh, ow, C] intermediate is materialized.
+        if oh % 2 == 0 and ow % 2 == 0:
+            x = resize_2d_packed(x, (oh, ow), "bilinear", align_corners=True)
+        else:
+            x = resize_2d(x, (oh, ow), "bilinear", align_corners=True)
         x = FusedConv3x3(32, dtype=self.dtype, keep_phases=True,
                          name="output_conv2_0")(x)
         x = nn.relu(x)

@@ -44,6 +44,7 @@ def _precision_for(dtype) -> jax.lax.Precision:
 __all__ = [
     "resize_matrix",
     "resize_2d",
+    "resize_2d_packed",
     "resize_1d",
     "interpolate",
 ]
@@ -144,6 +145,48 @@ def resize_2d(
     prec = _precision_for(x.dtype)
     y = jnp.einsum("Hh,...hwc->...Hwc", mh, x, precision=prec)
     y = jnp.einsum("Ww,...hwc->...hWc", mw, y, precision=prec)
+    return y
+
+
+@functools.lru_cache(maxsize=64)
+def _packed_resize_matrix(
+    in_size: int, out_size: int, method: str, align_corners: bool
+) -> np.ndarray:
+    """``resize_matrix`` rows shifted down by 1 and zero-padded to an even
+    ``out_size + 4`` rows — i.e. the resize output pre-padded with the
+    ((1, 2)) halo a following 3x3/s1 conv needs — folded ``[blocks, 2, in]``
+    for space-to-depth emission."""
+    assert out_size % 2 == 0, "packed resize needs an even output size"
+    m = resize_matrix(in_size, out_size, method, align_corners)
+    mp = np.zeros((out_size + 4, in_size), np.float32)
+    mp[1 : 1 + out_size] = m
+    return mp.reshape((out_size + 4) // 2, 2, in_size)
+
+
+def resize_2d_packed(
+    x: jnp.ndarray,
+    out_hw: tuple[int, int],
+    method: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Resize ``[..., H, W, C]`` and emit the padded space-to-depth layout
+    ``[..., (oh+4)//2, (ow+4)//2, 2, 2, C]`` directly.
+
+    Block ``(i, j)`` phase ``(a, p)`` holds padded-resized pixel
+    ``(2i + a - 1, 2j + p - 1)`` (zero outside ``[0, oh) x [0, ow)``) — the
+    exact input blocking under which a 3x3/s1 conv's phase-packed 4x4/s2
+    form (``models/dpt.FusedConv3x3``) collapses to a 2x2/s1 VALID conv.
+    Skipping the ``[..., oh, ow, C]`` intermediate keeps the whole DPT tail
+    on aligned GEMMs: 1.29x over resize-then-conv at the 224->392 bs8 point
+    (scripts/profile_packed_tail.py).
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    mh = jnp.asarray(_packed_resize_matrix(h, oh, method, align_corners), x.dtype)
+    mw = jnp.asarray(_packed_resize_matrix(w, ow, method, align_corners), x.dtype)
+    prec = _precision_for(x.dtype)
+    y = jnp.einsum("mah,...hwc->...mawc", mh, x, precision=prec)
+    y = jnp.einsum("npw,...mawc->...mnapc", mw, y, precision=prec)
     return y
 
 

@@ -82,3 +82,36 @@ def test_fused_conv3x3_matches_plain_conv():
         got = fused.apply({"params": params}, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_packed_resize_tail_matches_plain():
+    """resize_2d_packed + FusedConv3x3 on the packed layout must equal
+    resize_2d + plain 3x3 conv (same params; the packed path only changes
+    the blocking under which the GEMMs run)."""
+    import flax.linen as nn
+
+    from distill_any_depth_tpu.models.dpt import FusedConv3x3, merge_phases
+    from distill_any_depth_tpu.ops.resize import resize_2d, resize_2d_packed
+
+    rng = np.random.RandomState(1)
+    for h, w, oh, ow, ci, co in ((16, 16, 28, 28, 24, 8), (12, 20, 28, 42, 8, 16)):
+        x = jnp.asarray(rng.rand(2, h, w, ci), jnp.float32)
+        fused = FusedConv3x3(co)
+        params = fused.init(jax.random.PRNGKey(1), x)["params"]
+
+        y_plain = resize_2d(x, (oh, ow), "bilinear", align_corners=True)
+        ref = nn.Conv(co, (3, 3), padding=((1, 1), (1, 1))).apply(
+            {"params": params}, y_plain
+        )
+
+        xp = resize_2d_packed(x, (oh, ow), "bilinear", align_corners=True)
+        assert xp.shape == (2, (oh + 4) // 2, (ow + 4) // 2, 2, 2, ci)
+        got = fused.apply({"params": params}, xp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        # keep_phases layout round-trips through merge_phases
+        got_p = FusedConv3x3(co, keep_phases=True).apply({"params": params}, xp)
+        np.testing.assert_allclose(
+            np.asarray(merge_phases(got_p)), np.asarray(got), atol=0
+        )
