@@ -194,10 +194,19 @@ class ResidualConvUnit(nn.Module):
 
 class FeatureFusionBlock(nn.Module):
     """Refinenet fusion (util/blocks.py:83-148): optional skip through rcu1,
-    rcu2, bilinear upsample (align_corners=True), 1x1 out conv."""
+    rcu2, bilinear upsample (align_corners=True), 1x1 out conv.
+
+    ``packed_output`` swaps the upsample/out_conv order — valid because a
+    1x1 conv commutes with bilinear resampling (per-pixel linear map; the
+    interpolation rows sum to 1, so the bias field is preserved) — and
+    emits the halo-padded space-to-depth layout a following
+    ``FusedConv3x3`` consumes directly. The out_conv GEMM then also runs at
+    the pre-upsample resolution (4x fewer pixels).
+    """
 
     features: int
     dtype: Dtype = jnp.float32
+    packed_output: bool = False
 
     @nn.compact
     def __call__(
@@ -211,6 +220,9 @@ class FeatureFusionBlock(nn.Module):
         x = ResidualConvUnit(self.features, self.dtype, name="rcu2")(x)
         if size is None:
             size = (x.shape[1] * 2, x.shape[2] * 2)
+        if self.packed_output and size[0] % 2 == 0 and size[1] % 2 == 0:
+            x = nn.Dense(self.features, dtype=self.dtype, name="out_conv")(x)
+            return resize_2d_packed(x, size, "bilinear", align_corners=True)
         x = resize_2d(x, size, "bilinear", align_corners=True)
         x = nn.Dense(self.features, dtype=self.dtype, name="out_conv")(x)
         return x
@@ -275,19 +287,29 @@ class DPTHead(nn.Module):
         path = FeatureFusionBlock(self.features, self.dtype, name="refinenet2")(
             path, rn[1], size=rn[0].shape[1:3]
         )
-        path = FeatureFusionBlock(self.features, self.dtype, name="refinenet1")(path, rn[0])
-
-        x = FusedConv3x3(self.features // 2, dtype=self.dtype, name="output_conv1")(path)
+        # From refinenet1 on, everything is spatially a 3x3 conv, a 1x1
+        # conv, a relu, or a bilinear upsample — all of which run in the
+        # half-resolution space-to-depth blocking (ops/resize
+        # .resize_2d_packed + FusedConv3x3's packed branch), so no
+        # full-resolution [B, H, W, C] tensor is ever materialized and the
+        # convs stay aligned GEMMs. Odd target sizes (impossible for
+        # patch 14) fall back to the spatial path.
         oh, ow = gh * self.patch_size, gw * self.patch_size
-        # Keep the tail in phase-packed layout through the per-pixel relu +
-        # 1x1 conv so the final depth-to-space moves head_out_channels
-        # (usually 1) instead of 32 channels. The upsample feeds the conv its
-        # padded space-to-depth blocking directly (even sizes — always, for
-        # patch 14), so no [B, oh, ow, C] intermediate is materialized.
-        if oh % 2 == 0 and ow % 2 == 0:
-            x = resize_2d_packed(x, (oh, ow), "bilinear", align_corners=True)
+        half = (rn[0].shape[1] * 2, rn[0].shape[2] * 2)
+        packed = oh % 2 == 0 and ow % 2 == 0 and half[0] % 2 == 0 and half[1] % 2 == 0
+        path = FeatureFusionBlock(self.features, self.dtype, packed_output=packed,
+                                  name="refinenet1")(path, rn[0])
+
+        x = FusedConv3x3(self.features // 2, dtype=self.dtype,
+                         keep_phases=packed, name="output_conv1")(path)
+        if packed:
+            x = resize_2d_packed(x, (oh, ow), "bilinear", align_corners=True,
+                                 packed_input=True)
         else:
             x = resize_2d(x, (oh, ow), "bilinear", align_corners=True)
+        # Keep the tail in phase-packed layout through the per-pixel relu +
+        # 1x1 conv so the final depth-to-space moves head_out_channels
+        # (usually 1) instead of 32 channels.
         x = FusedConv3x3(32, dtype=self.dtype, keep_phases=True,
                          name="output_conv2_0")(x)
         x = nn.relu(x)

@@ -168,6 +168,7 @@ def resize_2d_packed(
     out_hw: tuple[int, int],
     method: str = "bilinear",
     align_corners: bool = False,
+    packed_input: bool = False,
 ) -> jnp.ndarray:
     """Resize ``[..., H, W, C]`` and emit the padded space-to-depth layout
     ``[..., (oh+4)//2, (ow+4)//2, 2, 2, C]`` directly.
@@ -179,12 +180,28 @@ def resize_2d_packed(
     Skipping the ``[..., oh, ow, C]`` intermediate keeps the whole DPT tail
     on aligned GEMMs: 1.29x over resize-then-conv at the 224->392 bs8 point
     (scripts/profile_packed_tail.py).
+
+    With ``packed_input`` the source is itself a *pure* (halo-less)
+    space-to-depth tensor ``[..., h/2, w/2, 2, 2, C]`` — block ``(i, a)``
+    holding pixel ``2i + a`` — as produced by a phase-packed conv
+    (``FusedConv3x3(keep_phases=True)``); the resize matrices fold the input
+    blocking too, so packed stages chain without any depth-to-space
+    relayout in between.
     """
-    h, w = x.shape[-3], x.shape[-2]
     oh, ow = out_hw
+    prec = _precision_for(x.dtype)
+    if packed_input:
+        h, w = 2 * x.shape[-5], 2 * x.shape[-4]
+        mh = jnp.asarray(_packed_resize_matrix(h, oh, method, align_corners), x.dtype)
+        mw = jnp.asarray(_packed_resize_matrix(w, ow, method, align_corners), x.dtype)
+        mh = mh.reshape(mh.shape[0], 2, h // 2, 2)
+        mw = mw.reshape(mw.shape[0], 2, w // 2, 2)
+        y = jnp.einsum("MAia,...ijapc->...MjApc", mh, x, precision=prec)
+        y = jnp.einsum("NPjp,...MjApc->...MNAPc", mw, y, precision=prec)
+        return y
+    h, w = x.shape[-3], x.shape[-2]
     mh = jnp.asarray(_packed_resize_matrix(h, oh, method, align_corners), x.dtype)
     mw = jnp.asarray(_packed_resize_matrix(w, ow, method, align_corners), x.dtype)
-    prec = _precision_for(x.dtype)
     y = jnp.einsum("mah,...hwc->...mawc", mh, x, precision=prec)
     y = jnp.einsum("npw,...mawc->...mnapc", mw, y, precision=prec)
     return y

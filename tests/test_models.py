@@ -115,3 +115,43 @@ def test_packed_resize_tail_matches_plain():
         np.testing.assert_allclose(
             np.asarray(merge_phases(got_p)), np.asarray(got), atol=0
         )
+
+
+def test_packed_fusion_chain_matches_plain():
+    """FeatureFusionBlock(packed_output) -> FusedConv3x3(keep_phases) ->
+    resize_2d_packed(packed_input) -> FusedConv3x3 must equal the plain
+    spatial chain (same params): the out_conv/upsample swap is exact because
+    a 1x1 conv commutes with bilinear resampling."""
+    from distill_any_depth_tpu.models.dpt import (
+        FeatureFusionBlock, FusedConv3x3, merge_phases,
+    )
+    from distill_any_depth_tpu.ops.resize import resize_2d, resize_2d_packed
+
+    rng = np.random.RandomState(2)
+    feat, co1, co2 = 32, 16, 8
+    x = jnp.asarray(rng.rand(2, 8, 10, feat), jnp.float32)
+    skip = jnp.asarray(rng.rand(2, 8, 10, feat), jnp.float32)
+    oh, ow = 28, 42  # 14 * (2, 3): the patch-14 head target shape family
+
+    plain_ffb = FeatureFusionBlock(feat)
+    params = plain_ffb.init(jax.random.PRNGKey(2), x, x)["params"]
+    conv1 = FusedConv3x3(co1)
+    p1 = conv1.init(jax.random.PRNGKey(3), jnp.zeros((1, 4, 4, feat)))["params"]
+    conv2 = FusedConv3x3(co2)
+    p2 = conv2.init(jax.random.PRNGKey(4), jnp.zeros((1, 4, 4, co1)))["params"]
+
+    y = plain_ffb.apply({"params": params}, x, skip)
+    y = conv1.apply({"params": p1}, y)
+    y = resize_2d(y, (oh, ow), "bilinear", align_corners=True)
+    ref = conv2.apply({"params": p2}, y)
+
+    y = FeatureFusionBlock(feat, packed_output=True).apply({"params": params}, x, skip)
+    assert y.ndim == 6
+    y = FusedConv3x3(co1, keep_phases=True).apply({"params": p1}, y)
+    y = resize_2d_packed(y, (oh, ow), "bilinear", align_corners=True,
+                         packed_input=True)
+    got = merge_phases(
+        FusedConv3x3(co2, keep_phases=True).apply({"params": p2}, y)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
