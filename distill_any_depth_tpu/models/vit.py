@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from distill_any_depth_tpu.configs import EncoderConfig
-from distill_any_depth_tpu.ops.attention import multi_head_attention
+from distill_any_depth_tpu.ops.attention import multi_head_attention_packed
 from distill_any_depth_tpu.ops.resize import resize_matrix
 
 Dtype = Any
@@ -148,12 +148,11 @@ class Attention(nn.Module):
         else:
             dense = lambda f, name: _dense(f, self.dtype, self.quant, name)  # noqa: E731
         qkv = dense(3 * c, "qkv")(x)
-        # torch packs rows as (q|k|v, head, head_dim) — same ordering here.
-        qkv = qkv.reshape(b, n, 3, h, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = multi_head_attention(q, k, v, bias=bias, impl=self.attn_impl,
-                                   band=self.band)
-        out = out.reshape(b, n, c)
+        # torch packs columns as (q|k|v, head, head_dim) — same ordering
+        # here, which is exactly the layout the packed flash path consumes
+        # without any relayout (ops/attention.multi_head_attention_packed).
+        out = multi_head_attention_packed(qkv, h, bias=bias,
+                                          impl=self.attn_impl, band=self.band)
         return dense(c, "proj")(out)
 
 

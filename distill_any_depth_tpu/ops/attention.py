@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["multi_head_attention"]
+__all__ = ["multi_head_attention", "multi_head_attention_packed"]
 
 # Below this token count the einsum path beats the kernel-launch overhead.
 # With the multi-head-per-program tiling the kernel wins from ~512 tokens
@@ -80,10 +80,51 @@ def multi_head_attention(
     return mha_reference(q, k, v, bias)
 
 
-def _use_flash(q: jnp.ndarray) -> bool:
-    if q.shape[1] < _FLASH_MIN_SEQ:
-        return False
+def multi_head_attention_packed(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    bias: jnp.ndarray | None = None,
+    impl: str = "auto",
+    band: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """Attention on the fused-QKV GEMM output ``[B, N, 3*H*D]`` (torch
+    (branch, head, dim) column packing), returning ``[B, N, H*D]``.
+
+    The bias-free flash path consumes the packed tensor directly
+    (ops/flash_attention.mha_flash_packed) — no [B,N,H,D] <-> [B*H,N,D]
+    relayouts in the forward. Everything else unpacks and goes through
+    ``multi_head_attention``.
+    """
+    if impl not in ("auto", "flash", "reference"):
+        raise ValueError(f"unknown attention impl {impl!r}")
+    b, n, c3 = qkv.shape
+    d = c3 // 3 // num_heads
+    lanes = max(128 // d, 1) * d
+    if (
+        bias is None
+        and band is None
+        and impl in ("auto", "flash")
+        and (impl == "flash" or n >= _FLASH_MIN_SEQ)
+        and lanes % 128 == 0
+        and (c3 // 3) % lanes == 0
+        and _on_tpu()
+    ):
+        from distill_any_depth_tpu.ops import flash_attention
+
+        return flash_attention.mha_flash_packed(qkv, num_heads)
+    qkv5 = qkv.reshape(b, n, 3, num_heads, d)
+    out = multi_head_attention(
+        qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2], bias, impl, band
+    )
+    return out.reshape(b, n, c3 // 3)
+
+
+def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def _use_flash(q: jnp.ndarray) -> bool:
+    return q.shape[1] >= _FLASH_MIN_SEQ and _on_tpu()

@@ -45,7 +45,7 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-__all__ = ["mha_flash"]
+__all__ = ["mha_flash", "mha_flash_packed"]
 
 _LANE = 128
 # per-program VMEM budget: ~16 MB on v5e, keep headroom for Mosaic's own
@@ -353,6 +353,157 @@ def _flash_fwd_impl(q, k, v, bias, interpret: bool):
 def _bias_kernel_adapter(q_ref, k_ref, v_ref, bias_ref, o_ref, *, hp, n_real, scale):
     _attn_kernel(q_ref, k_ref, v_ref, o_ref, hp=hp, n_real=n_real, scale=scale,
                  bias_ref=bias_ref)
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, hd: int, d: int,
+                   n_real: int, scale: float):
+    """``hd`` heads of one q tile, read/written as one 128-lane column
+    group of the packed layout (static in-register 64-lane sub-slices)."""
+    q2 = q_ref[0]  # [qb, hd*d]
+    k2 = k_ref[0]  # [nk, hd*d]
+    v2 = v_ref[0]
+    outs = []
+    for hh in range(hd):
+        sl = slice(hh * d, (hh + 1) * d)
+        scores = jax.lax.dot_general(
+            q2[:, sl], k2[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [qb, nk] fp32
+        nk = scores.shape[-1]
+        if nk > n_real:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < n_real, scores, -jnp.inf)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m).astype(q2.dtype)
+        denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e, v2[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / denom).astype(q2.dtype))
+    o_ref[0] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
+    """Dense forward on head-interleaved packed qkv.
+
+    ``qkv``: [B, N, 3*H*D], the raw fused-QKV GEMM output in the torch
+    packing (branch, head, dim) — q occupies columns [0, C), k [C, 2C),
+    v [2C, 3C). Output: [B, N, H*D], directly consumable by the proj GEMM.
+
+    The point of this layout: the per-block [B,N,H,D] <-> [B*H,N,D]
+    transposes plus per-tensor pads around the unpacked kernel were ~2.5 ms
+    of pure copies per ViT-B 392^2 bs8 forward (profiled; ~18% of the whole
+    model). Here the grid's innermost dimension walks 128-lane head groups
+    and the BlockSpecs slice the *same* array at the matching column blocks
+    — every DMA is a static strided read of 256-byte row chunks, the q tile
+    is re-used across the head groups (block index independent of the head
+    dimension), and no relayout op ever exists in the graph.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    scale = d ** -0.5
+    # heads per 128-lane column group (d=64 everywhere in this model zoo)
+    hd = max(_LANE // d, 1)
+    lanes = hd * d
+    if lanes % _LANE or c % lanes:
+        raise ValueError(
+            f"packed flash needs head columns in 128-lane groups; got "
+            f"H={num_heads} D={d} (C={c})"
+        )
+    groups = c // lanes
+    # kv rows sit in sublanes (the lane dim is the head group): pad N to 8.
+    n_pad = _round_up(n, 8)
+    kv_fixed = 4 * n_pad * lanes * qkv.dtype.itemsize  # k+v, double-buffered
+    per_q_row = (
+        hd * n_pad * 6                        # fp32 scores + exp buffer
+        + 2 * lanes * qkv.dtype.itemsize * 2  # q and o blocks
+    )
+    q_max = max(
+        min(int((_VMEM_BUDGET_BYTES - kv_fixed) / per_q_row), 512, n_pad)
+        // 8 * 8,
+        8,
+    )
+    # Split N into the fewest tiles that fit, sized to the need: naive
+    # round_up(785, 512) = 1024 would waste 30% of the rows as padding.
+    num_tiles = -(-n // q_max)
+    q_block = _round_up(-(-n // num_tiles), 8)
+    nq_pad = _round_up(n, q_block)
+    np_all = max(nq_pad, n_pad)
+    qkv_p = (
+        qkv if np_all == n else jnp.pad(qkv, ((0, 0), (0, np_all - n), (0, 0)))
+    )
+    kernel = functools.partial(
+        _packed_kernel, hd=hd, d=d, n_real=n, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, c), qkv.dtype),
+        # head groups innermost: the q/o blocks stay resident across them
+        grid=(b, nq_pad // q_block, groups),
+        in_specs=[
+            pl.BlockSpec((1, q_block, lanes), lambda bi, i, g: (bi, i, g)),
+            pl.BlockSpec((1, np_all, lanes),
+                         lambda bi, i, g, _gr=groups: (bi, 0, _gr + g)),
+            pl.BlockSpec((1, np_all, lanes),
+                         lambda bi, i, g, _gr=groups: (bi, 0, 2 * _gr + g)),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, lanes), lambda bi, i, g: (bi, i, g)),
+        interpret=interpret,
+    )(qkv_p, qkv_p, qkv_p)
+    return out[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash_packed(qkv, num_heads, interpret):
+    return _packed_fwd_impl(qkv, num_heads, interpret)
+
+
+def _flash_packed_fwd(qkv, num_heads, interpret):
+    return _packed_fwd_impl(qkv, num_heads, interpret), (qkv,)
+
+
+def _flash_packed_bwd(num_heads, interpret, residuals, g):
+    # Training pays the [B,N,H,D] <-> [BH,N,D] relayouts here, where they
+    # are a small fraction of the backward; the forward stays copy-free.
+    (qkv,) = residuals
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    qkv5 = qkv.reshape(b, n, 3, num_heads, d)
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * num_heads, n, d)
+
+    q, k, v = (fold(qkv5[:, :, i]) for i in range(3))
+    gf = fold(g.reshape(b, n, num_heads, d))
+    dq, dk, dv = _flash_bwd_impl(q, k, v, gf, interpret)
+
+    def unfold(x):
+        return x.reshape(b, num_heads, n, d).transpose(0, 2, 1, 3)
+
+    dqkv = jnp.stack([unfold(dq), unfold(dk), unfold(dv)], axis=2)
+    return (dqkv.reshape(b, n, c3).astype(qkv.dtype),)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def mha_flash_packed(
+    qkv: jnp.ndarray, num_heads: int, interpret: bool | None = None
+) -> jnp.ndarray:
+    """Flash attention straight on the fused-QKV GEMM output.
+
+    ``qkv``: [B, N, 3*H*D] in the torch (branch, head, dim) column packing
+    (models/vit.Attention); returns [B, N, H*D]. Bias-free dense attention
+    only — windowed/banded/packed-segment paths use ``mha_flash``.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    return _flash_packed(qkv, num_heads, interpret)
 
 
 def _reference_attention(q, k, v, bias):

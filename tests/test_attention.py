@@ -206,3 +206,68 @@ def test_banded_window_gradients_match():
     for a, r in zip(gb, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("n", [64, 197, 785])
+def test_packed_flash_matches_reference(n):
+    """mha_flash_packed consumes the fused-QKV GEMM layout [B,N,3HD]
+    directly; outputs must match the unpacked reference."""
+    from distill_any_depth_tpu.ops.flash_attention import mha_flash_packed
+
+    b, h, d = 2, 4, 64  # C=256: two 128-lane head groups
+    rng = np.random.RandomState(3)
+    qkv = jnp.asarray(rng.randn(b, n, 3 * h * d).astype(np.float32) * 0.2)
+    qkv5 = qkv.reshape(b, n, 3, h, d)
+    ref = mha_reference(qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2])
+    out = mha_flash_packed(qkv, h, interpret=True)
+    assert out.shape == (b, n, h * d)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref.reshape(b, n, h * d)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_packed_flash_gradients_match():
+    from distill_any_depth_tpu.ops.flash_attention import mha_flash_packed
+
+    b, n, h, d = 2, 150, 4, 32  # C=128: one lane group, 4 sub-head slices
+    rng = np.random.RandomState(4)
+    qkv = jnp.asarray(rng.randn(b, n, 3 * h * d).astype(np.float32) * 0.2)
+
+    def loss_packed(qkv):
+        return jnp.sum(mha_flash_packed(qkv, h, interpret=True) ** 2)
+
+    def loss_ref(qkv):
+        q5 = qkv.reshape(b, n, 3, h, d)
+        return jnp.sum(mha_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2]) ** 2)
+
+    gp = jax.grad(loss_packed)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_packed_dispatch_falls_back_off_tpu():
+    """multi_head_attention_packed must agree with the unpacked dispatch in
+    every configuration reachable from models/vit.Attention."""
+    from distill_any_depth_tpu.ops.attention import multi_head_attention_packed
+    from distill_any_depth_tpu.ops.window import local_window_bias
+
+    b, n, h, d = 2, 81, 3, 16
+    rng = np.random.RandomState(5)
+    qkv = jnp.asarray(rng.randn(b, n, 3 * h * d).astype(np.float32) * 0.2)
+    qkv5 = qkv.reshape(b, n, 3, h, d)
+    # no bias
+    ref = mha_reference(qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2])
+    out = multi_head_attention_packed(qkv, h)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref.reshape(b, n, h * d)),
+                               rtol=1e-4, atol=1e-5)
+    # window bias (the windowed-teacher configuration)
+    bias = local_window_bias(9, 9, 3, n_prefix=0)
+    ref_b = mha_reference(qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2],
+                          bias[None, None])
+    out_b = multi_head_attention_packed(qkv, h, bias=bias)
+    np.testing.assert_allclose(np.asarray(out_b),
+                               np.asarray(ref_b.reshape(b, n, h * d)),
+                               rtol=1e-4, atol=1e-5)
