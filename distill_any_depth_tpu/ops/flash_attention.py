@@ -414,6 +414,15 @@ def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
             f"packed flash needs head columns in 128-lane groups; got "
             f"H={num_heads} D={d} (C={c})"
         )
+    # Mosaic compile-time cliff (measured on v5e, jax 0.8 era): when
+    # batch * groups reaches 128 the kernel build jumps from ~2 s to
+    # 2-9 minutes (b16/g8: 467 s cold; b32/g8: 527 s; b12/g8, b16/g6,
+    # b8/g8 all ~2 s — independent of n, d, or the q-tile count). Widen
+    # the head group until the product stays under the cliff; wider groups
+    # also amortize kv DMAs, and VMEM sizing below accounts for it.
+    while b * (c // lanes) >= 128 and c % (2 * lanes) == 0 and lanes < 512:
+        lanes *= 2
+        hd = lanes // d
     groups = c // lanes
     # kv rows sit in sublanes (the lane dim is the head group): pad N to 8.
     n_pad = _round_up(n, 8)
@@ -577,7 +586,9 @@ def _flash_bwd_impl(q, k, v, dout, interpret: bool, bias=None):
     bh, n, d = q.shape
     scale = d ** -0.5
     n_pad = _round_up(n, _LANE)
-    q_block = min(256, n_pad)
+    # split-to-fit: round_up(785, 256) = 1024 would run 30% padded q rows
+    num_tiles = -(-n // min(256, n_pad))
+    q_block = _round_up(-(-n // num_tiles), 8)
     nq_pad = _round_up(n, q_block)
 
     def pad(x, target_n):
