@@ -26,7 +26,10 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--quant", default="none", choices=["none", "int8", "int8_pallas"],
-                   help="int8: dynamic-W8A8 encoder GEMMs (2x MXU rate on v5e)")
+                   help="int8: dynamic-W8A8 encoder GEMMs via XLA (the fast one); "
+                        "int8_pallas: fused-quant Pallas kernel — measured "
+                        "SLOWER end-to-end (0.81x, kept as the documented "
+                        "counter-example, docs/DESIGN.md)")
     p.add_argument("--save_png16", action="store_true",
                    help="also save normalized uint16 PNGs")
     return p

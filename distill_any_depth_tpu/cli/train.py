@@ -45,7 +45,10 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--teacher_dtype", default="bfloat16")
     p.add_argument("--teacher_quant", default="none", choices=["none", "int8", "int8_pallas"],
-                   help="int8: dynamic-W8A8 teacher GEMMs (2x MXU rate on v5e)")
+                   help="int8: dynamic-W8A8 teacher GEMMs via XLA (the fast one); "
+                        "int8_pallas: fused-quant Pallas kernel — measured "
+                        "SLOWER end-to-end (0.81x, kept as the documented "
+                        "counter-example, docs/DESIGN.md)")
     p.add_argument("--data_mode", default="nyu", choices=["nyu", "images"],
                    help="'nyu' CSV pairs or 'images' unlabeled-folder "
                         "global/local-crop distillation")

@@ -79,11 +79,17 @@ class FusedConv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         co = self.features
         if x.ndim == 6:
-            # Padded space-to-depth input [B, bh, bw, 2, 2, C] from
-            # ops/resize.resize_2d_packed: the 4x4/s2 phase-packed form
-            # collapses to a 2x2/s1 VALID conv over 4C channels (the halo
-            # rows/cols are baked into the blocking), i.e. pure aligned
-            # GEMMs with no [B, H, W, C] intermediate.
+            # HALO-padded space-to-depth input [B, bh, bw, 2, 2, C] from
+            # ops/resize.resize_2d_packed ONLY: block (i, a) must hold
+            # padded pixel 2i + a - 1 (zero outside the image). A *pure*
+            # keep_phases tensor (block (i, a) = pixel 2i + a, e.g. this
+            # module's own 6-D output) is NOT valid input here — same rank,
+            # half-pixel-shifted meaning; route it through
+            # resize_2d_packed(packed_input=True) or merge_phases first.
+            # With the halo baked into the blocking, the 4x4/s2
+            # phase-packed form collapses to a 2x2/s1 VALID conv over 4C
+            # channels — pure aligned GEMMs, no [B, H, W, C] intermediate,
+            # and bh - 1 output blocks with no crop.
             b, bh, bw, _, _, _ = x.shape
             kp = jnp.concatenate(
                 [
@@ -98,8 +104,8 @@ class FusedConv3x3(nn.Module):
             y = jax.lax.conv_general_dilated(
                 x.reshape(b, bh, bw, 4 * c_in), k2, (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )[:, : bh - 2, : bw - 2]
-            y = y.reshape(b, bh - 2, bw - 2, 2, 2, co)
+            )
+            y = y.reshape(b, bh - 1, bw - 1, 2, 2, co)
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             if not self.keep_phases:
@@ -295,8 +301,10 @@ class DPTHead(nn.Module):
         # convs stay aligned GEMMs. Odd target sizes (impossible for
         # patch 14) fall back to the spatial path.
         oh, ow = gh * self.patch_size, gw * self.patch_size
-        half = (rn[0].shape[1] * 2, rn[0].shape[2] * 2)
-        packed = oh % 2 == 0 and ow % 2 == 0 and half[0] % 2 == 0 and half[1] % 2 == 0
+        # (refinenet1's own 2x upsample target is even by construction;
+        # only the final patch-grid target can be odd, and never is for
+        # patch 14)
+        packed = oh % 2 == 0 and ow % 2 == 0
         path = FeatureFusionBlock(self.features, self.dtype, packed_output=packed,
                                   name="refinenet1")(path, rn[0])
 

@@ -99,19 +99,19 @@ def multi_head_attention_packed(
         raise ValueError(f"unknown attention impl {impl!r}")
     b, n, c3 = qkv.shape
     d = c3 // 3 // num_heads
-    lanes = max(128 // d, 1) * d
     if (
         bias is None
         and band is None
         and impl in ("auto", "flash")
         and (impl == "flash" or n >= _FLASH_MIN_SEQ)
-        and lanes % 128 == 0
-        and (c3 // 3) % lanes == 0
         and _on_tpu()
     ):
         from distill_any_depth_tpu.ops import flash_attention
 
-        return flash_attention.mha_flash_packed(qkv, num_heads)
+        if flash_attention.packed_flash_eligible(
+            b, c3 // 3, d, qkv.dtype.itemsize
+        ):
+            return flash_attention.mha_flash_packed(qkv, num_heads)
     qkv5 = qkv.reshape(b, n, 3, num_heads, d)
     out = multi_head_attention(
         qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2], bias, impl, band

@@ -386,6 +386,33 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, hd: int, d: int,
     o_ref[0] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
+def packed_flash_eligible(b: int, c: int, d: int, itemsize: int) -> bool:
+    """Can ``mha_flash_packed`` take this shape without hitting a known
+    trap? Single source of truth for the dispatch gate
+    (ops/attention.multi_head_attention_packed) and the kernel's own
+    ValueError. Requires: bf16-width inputs (multi-head fp32 blows scoped
+    VMEM — same reason _pick_tiling forces single-head there), head columns
+    groupable into 128-lane blocks, and a widening solution that stays
+    under the Mosaic batch*groups compile cliff (see _packed_lanes)."""
+    if itemsize >= 4:
+        return False
+    lanes = max(_LANE // d, 1) * d
+    if lanes % _LANE or c % lanes:
+        return False
+    return _packed_lanes(b, c, lanes) is not None
+
+
+def _packed_lanes(b: int, c: int, lanes: int) -> int | None:
+    """Widen the head group until batch * groups < 128, or None if no
+    width dodges the cliff (measured on v5e: b*groups >= 128 jumps the
+    Mosaic build from ~2 s to 467-527 s; b12/g8, b16/g6, b8/g8 ~2 s)."""
+    while b * (c // lanes) >= 128:
+        if c % (2 * lanes) or lanes >= 512:
+            return None
+        lanes *= 2
+    return lanes
+
+
 def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
     """Dense forward on head-interleaved packed qkv.
 
@@ -398,31 +425,32 @@ def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
     of pure copies per ViT-B 392^2 bs8 forward (profiled; ~18% of the whole
     model). Here the grid's innermost dimension walks 128-lane head groups
     and the BlockSpecs slice the *same* array at the matching column blocks
-    — every DMA is a static strided read of 256-byte row chunks, the q tile
-    is re-used across the head groups (block index independent of the head
-    dimension), and no relayout op ever exists in the graph.
+    — every DMA is a static strided read of contiguous row chunks and no
+    relayout op ever exists in the graph.
     """
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
     scale = d ** -0.5
-    # heads per 128-lane column group (d=64 everywhere in this model zoo)
-    hd = max(_LANE // d, 1)
-    lanes = hd * d
-    if lanes % _LANE or c % lanes:
+    base = max(_LANE // d, 1) * d
+    if base % _LANE or c % base:
         raise ValueError(
             f"packed flash needs head columns in 128-lane groups; got "
             f"H={num_heads} D={d} (C={c})"
         )
-    # Mosaic compile-time cliff (measured on v5e, jax 0.8 era): when
-    # batch * groups reaches 128 the kernel build jumps from ~2 s to
-    # 2-9 minutes (b16/g8: 467 s cold; b32/g8: 527 s; b12/g8, b16/g6,
-    # b8/g8 all ~2 s — independent of n, d, or the q-tile count). Widen
-    # the head group until the product stays under the cliff; wider groups
-    # also amortize kv DMAs, and VMEM sizing below accounts for it.
-    while b * (c // lanes) >= 128 and c % (2 * lanes) == 0 and lanes < 512:
-        lanes *= 2
-        hd = lanes // d
+    # The VMEM/compile-cliff gates only matter on a real Mosaic build;
+    # interpret mode (CPU tests) runs any width.
+    if not interpret and not packed_flash_eligible(b, c, d, qkv.dtype.itemsize):
+        raise ValueError(
+            f"shape not packed-flash eligible (use mha_flash): "
+            f"B={b} H={num_heads} D={d} C={c} itemsize={qkv.dtype.itemsize}"
+        )
+    # heads per column group (d=64 everywhere in this model zoo); widened
+    # past 128 lanes when needed to dodge the Mosaic batch*groups>=128
+    # compile cliff — wider groups also amortize kv DMAs, and the VMEM
+    # sizing below accounts for the width.
+    lanes = _packed_lanes(b, c, base) or base
+    hd = lanes // d
     groups = c // lanes
     # kv rows sit in sublanes (the lane dim is the head group): pad N to 8.
     n_pad = _round_up(n, 8)
@@ -451,7 +479,9 @@ def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, c), qkv.dtype),
-        # head groups innermost: the q/o blocks stay resident across them
+        # head groups innermost (each group reads/writes its own 128-lane
+        # q/o column slice — nothing is resident across g, the win is
+        # purely that no relayout/pad ops exist around the call)
         grid=(b, nq_pad // q_block, groups),
         in_specs=[
             pl.BlockSpec((1, q_block, lanes), lambda bi, i, g: (bi, i, g)),

@@ -152,15 +152,18 @@ def resize_2d(
 def _packed_resize_matrix(
     in_size: int, out_size: int, method: str, align_corners: bool
 ) -> np.ndarray:
-    """``resize_matrix`` rows shifted down by 1 and zero-padded to an even
-    ``out_size + 4`` rows — i.e. the resize output pre-padded with the
-    ((1, 2)) halo a following 3x3/s1 conv needs — folded ``[blocks, 2, in]``
-    for space-to-depth emission."""
+    """``resize_matrix`` rows shifted down by 1 and zero-padded to
+    ``out_size + 2`` rows (pixels -1..out_size) — the exact halo a
+    following 3x3/s1 conv's phase-packed 2x2 form reads (output block m
+    covers padded pixels 2m-1..2m+2, so the last block needs one pixel
+    past the end) — folded ``[blocks, 2, in]`` for space-to-depth
+    emission. A VALID 2x2 conv over the ``out/2 + 1`` blocks yields
+    exactly ``out/2`` output blocks, no crop needed."""
     assert out_size % 2 == 0, "packed resize needs an even output size"
     m = resize_matrix(in_size, out_size, method, align_corners)
-    mp = np.zeros((out_size + 4, in_size), np.float32)
+    mp = np.zeros((out_size + 2, in_size), np.float32)
     mp[1 : 1 + out_size] = m
-    return mp.reshape((out_size + 4) // 2, 2, in_size)
+    return mp.reshape(out_size // 2 + 1, 2, in_size)
 
 
 def resize_2d_packed(
@@ -171,7 +174,7 @@ def resize_2d_packed(
     packed_input: bool = False,
 ) -> jnp.ndarray:
     """Resize ``[..., H, W, C]`` and emit the padded space-to-depth layout
-    ``[..., (oh+4)//2, (ow+4)//2, 2, 2, C]`` directly.
+    ``[..., oh//2 + 1, ow//2 + 1, 2, 2, C]`` directly.
 
     Block ``(i, j)`` phase ``(a, p)`` holds padded-resized pixel
     ``(2i + a - 1, 2j + p - 1)`` (zero outside ``[0, oh) x [0, ow)``) — the

@@ -105,7 +105,7 @@ def test_packed_resize_tail_matches_plain():
         )
 
         xp = resize_2d_packed(x, (oh, ow), "bilinear", align_corners=True)
-        assert xp.shape == (2, (oh + 4) // 2, (ow + 4) // 2, 2, 2, ci)
+        assert xp.shape == (2, oh // 2 + 1, ow // 2 + 1, 2, 2, ci)
         got = fused.apply({"params": params}, xp)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
