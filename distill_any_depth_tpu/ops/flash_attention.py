@@ -459,8 +459,11 @@ def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
         hd * n_pad * 6                        # fp32 scores + exp buffer
         + 2 * lanes * qkv.dtype.itemsize * 2  # q and o blocks
     )
+    # cap 1024: at N<=~800 a single whole-N q tile measured fastest
+    # (230 vs 250-340 us for 264/400-row tiles, scripts-era sweep); VMEM
+    # sizing above pushes longer sequences into multiple tiles anyway.
     q_max = max(
-        min(int((_VMEM_BUDGET_BYTES - kv_fixed) / per_q_row), 512, n_pad)
+        min(int((_VMEM_BUDGET_BYTES - kv_fixed) / per_q_row), 1024, n_pad)
         // 8 * 8,
         8,
     )
