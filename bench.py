@@ -72,19 +72,25 @@ def bench_train(rtt: float) -> None:
     )
 
     @jax.jit
-    def train_chain(state, teacher_params, x):
+    def train_chain(state, teacher_params, xs):
         # Chain TRAIN_CHAIN steps on-device (state carries the dependency);
         # per-call dispatch through the tunnel would otherwise distort
-        # sub-second step times.
-        def body(st, _):
+        # sub-second step times. Each step consumes its OWN batch — with a
+        # loop-invariant x, XLA hoists the entire (stop-gradient) teacher
+        # forward out of the scan and the chain measures teacher/5 (caught
+        # against a per-call trace, which ran ~1.5x the chain's per-step
+        # time).
+        def body(st, x):
             st, metrics = step(st, teacher_params, x, x)
             return st, metrics["total"]
 
-        st, totals = jax.lax.scan(body, state, None, length=TRAIN_CHAIN)
+        st, totals = jax.lax.scan(body, state, xs)
         return st, totals[-1]
 
     rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.rand(TRAIN_BATCH, SIZE, SIZE, 3), jnp.float32)
+    x = jnp.asarray(
+        rng.rand(TRAIN_CHAIN, TRAIN_BATCH, SIZE, SIZE, 3), jnp.float32
+    )
 
     new_state, total = train_chain(state, (tp,), x)  # compile + warm
     assert np.isfinite(float(total)), float(total)
