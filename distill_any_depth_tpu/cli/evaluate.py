@@ -20,6 +20,11 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--output", default="evaluation_report.txt")
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--raw_255", action="store_true",
+                   help="feed raw 0-255 images (the reference loader's "
+                        "silent-transform-failure behavior, tools/"
+                        "data_loaders.py:141-150) instead of ImageNet-"
+                        "normalized — for cross-framework parity runs")
     return p
 
 
@@ -39,7 +44,8 @@ def main(args=None) -> dict:
 
     cfg = model_config(args.arch_name)
     model = create_model(cfg, dtype=jnp.dtype(args.dtype))
-    ds = NYUDataset("test", dataset_dir=args.data_dir, image_size=args.image_size)
+    ds = NYUDataset("test", dataset_dir=args.data_dir, image_size=args.image_size,
+                    raw_255=args.raw_255)
 
     def load(path):
         if path is None:

@@ -42,6 +42,10 @@ def argument_parser() -> argparse.ArgumentParser:
                         "SLOWER end-to-end (0.81x, kept as the documented "
                         "counter-example, docs/DESIGN.md)")
     p.add_argument("--cmap", default="Spectral_r")
+    p.add_argument("--save_npy", action="store_true",
+                   help="also write the raw min-max-normalized disparity at "
+                        "processing resolution as .npy (the reference saves "
+                        "only the lossy colorized JPEG)")
     p.add_argument(
         "--batch_size", type=int, default=8,
         help="images per forward at a fixed --processing_res (native-res "
@@ -150,6 +154,9 @@ def main(args=None) -> list[str]:
 
     def save_one(i, path, pred, h, w):
         disp = normalize_disparity(pred)
+        stem0 = os.path.splitext(os.path.basename(path))[0]
+        if args.save_npy:
+            np.save(os.path.join(out_dir, f"depth_{stem0}.npy"), disp)
         colored = colorize_depth_maps(disp[None], 0, 1, cmap=args.cmap)[0]
         colored = (chw2hwc(colored) * 255).astype(np.uint8)
         colored = cv2.resize(colored, (w, h), interpolation=cv2.INTER_LINEAR)

@@ -11,6 +11,8 @@ from distill_any_depth_tpu.cli import convert as cli_convert
 from distill_any_depth_tpu.cli import evaluate as cli_evaluate
 from distill_any_depth_tpu.cli import infer as cli_infer
 
+pytestmark = pytest.mark.slow
+
 
 def test_infer_cli(tmp_path):
     img_dir = tmp_path / "in"

@@ -20,9 +20,9 @@ from reference_loader import (
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.parity, pytest.mark.skipif(
     not reference_available(), reason="reference tree not mounted"
-)
+)]
 
 
 @pytest.fixture(scope="module")

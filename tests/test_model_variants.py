@@ -15,6 +15,8 @@ from test_train import tiny_model_cfg
 
 from reference_loader import reference_available, load_reference_student
 
+pytestmark = pytest.mark.parity
+
 torch = pytest.importorskip("torch")
 
 

@@ -22,6 +22,8 @@ from distill_any_depth_tpu.train.state import create_train_state
 from distill_any_depth_tpu.train.step import make_train_step
 from test_train import tiny_model_cfg, _batch
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

@@ -21,6 +21,8 @@ from distill_any_depth_tpu.ops.preprocess import (
 )
 from test_train import tiny_model_cfg
 
+pytestmark = pytest.mark.slow
+
 
 def test_snap_to_bucket():
     assert snap_to_bucket(0) == 196

@@ -25,6 +25,8 @@ from distill_any_depth_tpu.train.state import (
 from distill_any_depth_tpu.train.step import make_eval_loss_fn, make_train_step
 from distill_any_depth_tpu.utils import checkpoint as ckpt_io
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_model_cfg(name="tiny", **kw) -> ModelConfig:
     enc = EncoderConfig(

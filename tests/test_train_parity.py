@@ -27,9 +27,9 @@ from reference_loader import (
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.parity, pytest.mark.skipif(
     not reference_available(), reason="reference tree not mounted"
-)
+)]
 
 STEPS = 3
 # hybrid normalization divides by near-zero per-segment MADs at random init,
