@@ -43,6 +43,14 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_split", type=float, default=0.1)
     p.add_argument("--early_stopping", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size (batch sharded over ICI, "
+                        "GSPMD gradient psum). One process drives all chips "
+                        "— no per-GPU process launcher needed")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (Megatron qkv/proj/mlp "
+                        "kernel sharding on student and teachers); composes "
+                        "with --dp as a (dp x tp) device mesh")
     p.add_argument("--teacher_dtype", default="bfloat16")
     p.add_argument("--teacher_quant", default="none", choices=["none", "int8", "int8_pallas"],
                    help="int8: dynamic-W8A8 teacher GEMMs via XLA (the fast one); "
@@ -124,6 +132,8 @@ def main(args=None) -> dict:
         num_epochs=args.num_epochs,
         num_iterations=args.num_iterations,
         seed=args.seed,
+        dp=args.dp,
+        tp=args.tp,
         val_split=args.val_split,
         checkpoint_interval=args.checkpoint_interval,
         log_interval=args.log_interval,

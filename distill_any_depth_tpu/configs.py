@@ -233,8 +233,11 @@ class TrainConfig:
     output_dir: str = "output"
     dataset_dir: str = "data/nyu"
     use_nyu_dataset: bool = True
-    # parallelism
+    # parallelism: a 2-D (data, model) mesh over ICI. dp shards the batch
+    # (GSPMD gradient psum); tp shards the ViT qkv/proj/mlp kernels
+    # Megatron-style (parallel/tp.py) on students AND teachers.
     dp: int = 1  # data-parallel mesh size over ICI
+    tp: int = 1  # tensor-parallel (model axis) mesh size
     teacher_dtype: str = "bfloat16"
     # "int8": teacher forwards run dynamic-W8A8 encoder GEMMs (2x MXU rate
     # on v5e; ops/quant.py). Teachers are inference-only inside the step

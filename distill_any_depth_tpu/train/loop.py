@@ -42,10 +42,10 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
-        if mesh is None and cfg.dp > 1:
+        if mesh is None and (cfg.dp > 1 or cfg.tp > 1):
             from distill_any_depth_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(dp=cfg.dp)
+            mesh = make_mesh(dp=cfg.dp, model=cfg.tp)
         self.mesh = mesh
         student_dtype = jnp.dtype(cfg.student_compute_dtype)
         teacher_dtype = jnp.dtype(cfg.teacher_dtype)
@@ -72,12 +72,24 @@ class Trainer:
             self.teacher_params.append(params)
 
         if self.mesh is not None:
-            from distill_any_depth_tpu.parallel.mesh import replicate
+            if cfg.tp > 1:
+                # Megatron-style TP placement on student AND teachers; the
+                # optimizer state created below inherits the layout
+                # (zeros_like preserves sharding) and jit picks it up from
+                # the committed arguments
+                from distill_any_depth_tpu.parallel.tp import shard_params
 
-            self.student_params = replicate(self.mesh, self.student_params)
-            self.teacher_params = [
-                replicate(self.mesh, p) for p in self.teacher_params
-            ]
+                self.student_params = shard_params(self.mesh, self.student_params)
+                self.teacher_params = [
+                    shard_params(self.mesh, p) for p in self.teacher_params
+                ]
+            else:
+                from distill_any_depth_tpu.parallel.mesh import replicate
+
+                self.student_params = replicate(self.mesh, self.student_params)
+                self.teacher_params = [
+                    replicate(self.mesh, p) for p in self.teacher_params
+                ]
 
         opt = cfg.optimizer
         if cfg.adapter_only:

@@ -202,3 +202,51 @@ def test_trainer_with_dp_mesh(mesh, tmp_path):
 
     hist = trainer.run(batches, max_steps=2)
     assert np.isfinite(hist["train_loss"][0])
+
+
+def test_trainer_with_tp_dp_mesh(mesh, tmp_path):
+    """Trainer end-to-end on a 4x2 TPxDP mesh via cfg.dp/cfg.tp — the
+    one-flag multi-chip UX (dad-train --dp 4 --tp 2). Student AND teacher
+    kernels must actually be model-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from distill_any_depth_tpu import configs
+    from distill_any_depth_tpu.configs import LossConfig, OptimizerConfig, TrainConfig
+    from distill_any_depth_tpu.train.loop import Trainer
+
+    configs.MODELS.setdefault("tiny-tpdp-s", tiny_model_cfg("tiny-tpdp-s"))
+    configs.MODELS.setdefault("tiny-tpdp-t", tiny_model_cfg("tiny-tpdp-t"))
+    cfg = TrainConfig(
+        student=configs.MODELS["tiny-tpdp-s"], teachers=("tiny-tpdp-t",),
+        loss=LossConfig(use_hdn=False),
+        optimizer=OptimizerConfig(total_steps=4),
+        batch_size=8, image_size=56, num_epochs=1, val_split=0.0,
+        checkpoint_interval=0, log_interval=10, visualize_interval=0,
+        output_dir=str(tmp_path), dp=4, tp=2,
+    )
+    trainer = Trainer(cfg)
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+
+    def spec_of(tree, *path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return node.sharding.spec
+
+    # student qkv kernel sharded over the model axis; teacher too
+    blk = next(k for k in trainer.student_params["pretrained"] if k.startswith("blocks_"))
+    assert spec_of(trainer.student_params, "pretrained", blk, "attn", "qkv",
+                   "kernel") == P(None, "model")
+    tblk = next(
+        k for k in trainer.teacher_params[0]["pretrained"] if k.startswith("blocks_")
+    )
+    assert spec_of(trainer.teacher_params[0], "pretrained", tblk, "attn",
+                   "proj", "kernel") == P("model", None)
+
+    def batches(epoch):
+        for seed in range(2):
+            yield {"image": np.asarray(_batch(bs=8, size=56, seed=seed))}
+
+    hist = trainer.run(batches, max_steps=2)
+    assert np.isfinite(hist["train_loss"][0])
+    assert int(trainer.state.step) == 2
