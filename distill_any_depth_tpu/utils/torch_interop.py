@@ -85,8 +85,14 @@ def torch_to_params(
 
     for key, v in state.items():
         v = np.asarray(v)
-        if key in ("pretrained.cls_token", "pretrained.pos_embed",
-                   "pretrained.register_tokens"):
+        if key.startswith("adapters."):
+            # framework-namespace adapter leaves (LoRA/SSF), stored verbatim
+            # in the framework's own layout by params_to_torch — no torch
+            # counterpart exists (the reference never persists its LoRA
+            # w_a/w_b, ViT_DINO_reg.py:48-133)
+            _set(params, tuple(key.split(".")[1:]), v)
+        elif key in ("pretrained.cls_token", "pretrained.pos_embed",
+                     "pretrained.register_tokens"):
             _set(params, ("pretrained", key.split(".")[-1]), v)
         elif key == "pretrained.mask_token":
             continue  # unused by the depth forward pass
@@ -203,11 +209,14 @@ def params_to_torch(params: Mapping, cfg: ModelConfig) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     p = cfg.encoder.patch_size
     for path, v in _flatten(params).items():
-        # adapter params (LoRA/SSF) are framework-native; they have no torch
-        # counterpart and are persisted via orbax train state instead
+        # adapter params (LoRA/SSF) are framework-native with no torch
+        # counterpart: exported verbatim under an 'adapters.' namespace so
+        # adapter-only checkpoints stay complete (torch loaders ignore the
+        # extra keys; torch_to_params restores them exactly)
         if path[-1] in ("lora_a", "lora_b") or any(
             str(seg).startswith("ssf_") for seg in path
         ):
+            out["adapters." + ".".join(path)] = v
             continue
         top = path[0]
         if top == "pretrained":

@@ -1,5 +1,6 @@
 """LoRA/SSF adapter and register-token variant tests."""
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -115,7 +116,10 @@ def test_register_tokens_variant():
     assert feat.shape == (2, 16, enc.embed_dim)  # registers stripped
 
 
-def test_torch_export_skips_adapters(tmp_path):
+def test_torch_export_carries_adapters(tmp_path):
+    """Adapter leaves export under the 'adapters.' framework namespace
+    (torch loaders ignore them; ours restores them exactly) — adapter-only
+    checkpoints are complete, not frozen-base-only."""
     cfg = _adapter_cfg(lora_rank=4, use_ssf=True)
     model = create_model(cfg)
     params = init_params(model, 0, image_size=56)
@@ -124,13 +128,25 @@ def test_torch_export_skips_adapters(tmp_path):
     from safetensors import numpy as st_numpy
 
     keys = st_numpy.load_file(path).keys()
-    assert not any("lora" in k or "ssf" in k for k in keys)
+    adapter_keys = [k for k in keys if k.startswith("adapters.")]
+    assert adapter_keys and all(
+        "lora_" in k or ".ssf_" in k for k in adapter_keys
+    )
+    # torch-namespace keys stay clean of adapters (reference interop intact)
+    assert not any(
+        ("lora" in k or "ssf" in k) for k in keys if not k.startswith("adapters.")
+    )
 
-    # loading back with a template restores adapter leaves at init values
-    loaded = ckpt_io.load_safetensors(path, cfg, template=params)
-    d0, _ = model.apply({"params": params}, jnp.zeros((1, 56, 56, 3)))
-    d1, _ = model.apply({"params": loaded}, jnp.zeros((1, 56, 56, 3)))
-    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+    # loading back (no template needed) restores the exact tree
+    loaded = ckpt_io.load_safetensors(path, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(loaded)
+    }
+    assert len(flat_a) == len(flat_b)
+    for p, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v), flat_b[jax.tree_util.keystr(p)])
 
 
 def test_trainer_adapter_only_finetuning(tmp_path):
@@ -183,6 +199,18 @@ def test_trainer_adapter_only_finetuning(tmp_path):
             frozen_moved += 1
     assert adapter_moved > 0
     assert frozen_moved == 0
+
+    # the artifact named "final" must carry the TRAINED adapters: save ->
+    # load -> bitwise-identical forward (the whole point of adapter_only
+    # checkpoints; previously they silently exported frozen base weights)
+    final = str(tmp_path / "student_final.safetensors")
+    assert os.path.exists(final)
+    loaded = ckpt_io.load_safetensors(final, cfg.student)
+    model = trainer.student
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 56, 56, 3), jnp.float32)
+    d_trained, _ = model.apply({"params": trainer.state.params}, x)
+    d_loaded, _ = model.apply({"params": loaded}, x)
+    np.testing.assert_array_equal(np.asarray(d_trained), np.asarray(d_loaded))
 
 
 def test_adapter_only_without_adapters_raises(tmp_path):
