@@ -63,8 +63,11 @@ def _lib():
         lib.dad_loader_create.restype = ctypes.c_void_p
         lib.dad_loader_create.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.dad_loader_set_epoch.restype = None
+        lib.dad_loader_set_epoch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
         ]
         lib.dad_loader_num_samples.restype = ctypes.c_long
         lib.dad_loader_num_samples.argtypes = [ctypes.c_void_p]
@@ -83,7 +86,14 @@ def available() -> bool:
 
 
 class NativeNYULoader:
-    """Infinite prefetched NYU batch stream backed by the C++ runtime."""
+    """Prefetched NYU batch stream backed by the C++ runtime.
+
+    Ordering policy lives HERE (data/nyu.epoch_order — seeded global shuffle
+    then round-robin shard, the same code path as the Python loader); the
+    C++ side decodes the installed order concurrently and delivers it
+    deterministically via a reorder buffer. The two loaders therefore yield
+    identical epochs for the same (csv, seed, shards), and resume is
+    data-exact via the standard steps_per_epoch fast-forward."""
 
     def __init__(
         self,
@@ -109,19 +119,58 @@ class NativeNYULoader:
         self._handle = lib.dad_loader_create(
             csv_path.encode(), root_dir.encode(), image_size,
             int(normalize), int(raw_255), num_threads, queue_capacity,
-            int(shuffle), seed, shard_index, num_shards,
         )
         if not self._handle:
             raise FileNotFoundError(f"no samples loadable from {csv_path}")
         self.batch_size = batch_size
         self.image_size = image_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard_index = shard_index
+        self.num_shards = max(num_shards, 1)
+        self._stream = self._index_stream(0)
+        self._remaining = 0
         self._images = np.empty((batch_size, image_size, image_size, 3), np.float32)
         self._depths = np.empty((batch_size, image_size, image_size), np.float32)
 
     def __len__(self) -> int:
+        """GLOBAL sample count (sharding happens per epoch, not per loader)."""
         return int(self._lib.dad_loader_num_samples(self._handle))
 
+    def shard_len(self) -> int:
+        return len(self) // self.num_shards
+
+    def _index_stream(self, start_epoch: int):
+        from distill_any_depth_tpu.data.nyu import epoch_order
+
+        n = len(self)
+        epoch = start_epoch
+        while True:
+            yield from epoch_order(
+                n, seed=self.seed + epoch, shuffle=self.shuffle,
+                shard_index=self.shard_index, num_shards=self.num_shards,
+            )
+            epoch += 1
+
+    def _install(self, need: int) -> None:
+        import itertools
+
+        idx = np.fromiter(
+            itertools.islice(self._stream, need), dtype=np.int64, count=need
+        )
+        self._lib.dad_loader_set_epoch(
+            self._handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+        )
+        self._remaining = need
+
     def next_batch(self) -> dict:
+        if self._remaining < self.batch_size:
+            # installing resets C++ delivery state, so only top up when the
+            # previous installment is fully drained (batches() installs a
+            # whole epoch at once — the prefetch-friendly path)
+            assert self._remaining == 0, "mixed batch sizes on one loader"
+            self._install(self.batch_size)
         n = self._lib.dad_loader_next_batch(
             self._handle,
             self.batch_size,
@@ -130,10 +179,19 @@ class NativeNYULoader:
         )
         if n < self.batch_size:
             raise RuntimeError("native loader stream ended unexpectedly")
+        self._remaining -= self.batch_size
         # copies: the internal buffers are reused by the next call
         return {"image": self._images.copy(), "depth": self._depths.copy()}
 
-    def batches(self, steps: int):
+    def batches(self, steps: int, epoch: int | None = None):
+        """Yield ``steps`` batches. With ``epoch`` given, the stream is
+        repositioned to that epoch's seeded order (data-exact resume /
+        validation replay); otherwise it continues where it left off."""
+        if epoch is not None:
+            self._stream = self._index_stream(epoch)
+            self._remaining = 0
+        if self._remaining == 0 and steps > 0:
+            self._install(steps * self.batch_size)
         for _ in range(steps):
             yield self.next_batch()
 

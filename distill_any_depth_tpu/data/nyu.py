@@ -32,7 +32,29 @@ except ImportError:  # pragma: no cover
 
 from distill_any_depth_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-__all__ = ["NYUDataset", "iterate_batches"]
+__all__ = ["NYUDataset", "iterate_batches", "epoch_order"]
+
+
+def epoch_order(
+    indices,
+    seed: int = 0,
+    shuffle: bool = True,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> np.ndarray:
+    """THE epoch ordering policy, shared by the Python and native loaders:
+    seeded global shuffle (host-consistent) first, THEN round-robin shard,
+    truncated so every shard is the same length (unequal step counts
+    deadlock SPMD collectives). ``indices`` is an index list or a count."""
+    idx = np.array(
+        np.arange(indices) if np.isscalar(indices) else indices, dtype=np.int64
+    )
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    if num_shards > 1:
+        per = len(idx) // num_shards
+        idx = idx[shard_index::num_shards][:per]
+    return idx
 
 
 @dataclass
@@ -141,12 +163,11 @@ def iterate_batches(
     host IO overlaps device compute (matching the native C++ loader's
     behavior); 0 disables for deterministic single-thread tests.
     """
-    idx = np.asarray(indices if indices is not None else range(len(dataset)))
-    if shuffle:
-        np.random.RandomState(seed).shuffle(idx)
-    if num_shards > 1:
-        per = len(idx) // num_shards
-        idx = idx[shard_index::num_shards][:per]
+    idx = epoch_order(
+        indices if indices is not None else len(dataset),
+        seed=seed, shuffle=shuffle,
+        shard_index=shard_index, num_shards=num_shards,
+    )
     n = (len(idx) // batch_size) * batch_size if drop_remainder else len(idx)
 
     def produce():

@@ -2,13 +2,21 @@
 //
 // The TPU-native replacement for the reference's forked-worker Python
 // DataLoader (tools/data_loaders.py + torch DataLoader num_workers): a C++
-// thread pool decodes/preprocesses RGB+depth pairs and fills a bounded
-// prefetch queue so the host never starves the device. Preprocessing
-// matches the reference semantics exactly (same OpenCV library as its cv2
-// path): BGR->RGB, square INTER_CUBIC resize for RGB, INTER_NEAREST for
-// depth, uint8/255 vs uint16/65535 depth scaling (data_loaders.py:113-128),
+// thread pool decodes/preprocesses RGB+depth pairs into a bounded REORDER
+// buffer so the host never starves the device. Preprocessing matches the
+// reference semantics exactly (same OpenCV library as its cv2 path):
+// BGR->RGB, square INTER_CUBIC resize for RGB, INTER_NEAREST for depth,
+// uint8/255 vs uint16/65535 depth scaling (data_loaders.py:113-128),
 // optional ImageNet normalization, bounded random retry on corrupt files
 // (:64-191).
+//
+// Ordering policy lives in PYTHON, mechanics here: dad_loader_set_epoch
+// installs an explicit index order (the host-consistent global shuffle +
+// round-robin shard computed by data/nyu.epoch_order — the SAME code path
+// as the Python loader, so the two loaders yield identical epochs and
+// resume stays data-exact). Workers decode positions concurrently but
+// next_batch delivers them strictly in order via the reorder buffer, so
+// the stream is deterministic despite the thread pool.
 //
 // Exposed as a C API consumed via ctypes (distill_any_depth_tpu/data/
 // native_loader.py). Output layout is NHWC float32, ready for
@@ -20,11 +28,13 @@
 
 #include <atomic>
 #include <condition_variable>
+#include <cstdint>
 #include <cstring>
-#include <deque>
 #include <fstream>
+#include <map>
 #include <mutex>
 #include <random>
+#include <set>
 #include <sstream>
 #include <string>
 #include <thread>
@@ -43,24 +53,15 @@ struct Sample {
 class Loader {
  public:
   Loader(const std::string& csv_path, const std::string& root, int image_size,
-         bool normalize, bool raw_255, int num_threads, int queue_capacity,
-         bool shuffle, unsigned seed, int shard_index, int num_shards)
+         bool normalize, bool raw_255, int num_threads, int queue_capacity)
       : size_(image_size),
         normalize_(normalize),
         raw_255_(raw_255),
-        capacity_(std::max(queue_capacity, 2)),
-        shuffle_(shuffle),
-        rng_(seed) {
+        capacity_(std::max(queue_capacity, 2)) {
     std::ifstream f(csv_path);
     std::string line;
-    long row = 0;
-    if (num_shards < 1) num_shards = 1;
     while (std::getline(f, line)) {
       if (line.empty()) continue;
-      // multi-host sharding: each process owns rows where
-      // row % num_shards == shard_index (host-sharded input pipeline)
-      bool mine = (row++ % num_shards) == shard_index;
-      if (!mine) continue;
       auto comma = line.find(',');
       if (comma == std::string::npos) continue;
       std::string rgb = line.substr(0, comma);
@@ -71,7 +72,6 @@ class Loader {
       pairs_.emplace_back(join(root, rgb), join(root, depth));
     }
     if (pairs_.empty()) return;
-    refill_indices();
     int n = std::max(num_threads, 1);
     for (int i = 0; i < n; ++i)
       workers_.emplace_back([this, i] { worker_loop(i); });
@@ -82,26 +82,46 @@ class Loader {
       std::lock_guard<std::mutex> lk(mu_);
       stop_ = true;
     }
-    cv_not_full_.notify_all();
-    cv_not_empty_.notify_all();
+    cv_work_.notify_all();
+    cv_ready_.notify_all();
     for (auto& t : workers_) t.join();
   }
 
   long num_samples() const { return static_cast<long>(pairs_.size()); }
 
-  // Fills images [batch, H, W, 3] and depths [batch, H, W]; returns the
-  // number of samples written (0 on shutdown/empty dataset).
+  // Install the next stretch of the sample stream (row indices into the
+  // CSV, already globally shuffled + sharded by the Python policy layer).
+  // Resets delivery to position 0 of the new order; in-flight decodes from
+  // a previous order are dropped via the generation counter.
+  void set_epoch(const int64_t* indices, long n) {
+    std::lock_guard<std::mutex> lk(mu_);
+    order_.assign(indices, indices + n);
+    take_pos_ = 0;
+    expect_pos_ = 0;
+    ++epoch_gen_;
+    ready_.clear();
+    failed_.clear();
+    cv_work_.notify_all();
+  }
+
+  // Fills images [batch, H, W, 3] and depths [batch, H, W] in the EXACT
+  // installed order; returns the number of samples written (< batch on
+  // shutdown, exhausted order, or unrecoverable decode failure).
   int next_batch(int batch, float* images, float* depths) {
     const size_t img_elems = static_cast<size_t>(size_) * size_ * 3;
     const size_t dep_elems = static_cast<size_t>(size_) * size_;
     for (int b = 0; b < batch; ++b) {
       std::unique_lock<std::mutex> lk(mu_);
-      cv_not_empty_.wait(lk, [this] { return stop_ || !queue_.empty(); });
-      if (stop_ && queue_.empty()) return b;
-      Sample s = std::move(queue_.front());
-      queue_.pop_front();
+      if (expect_pos_ >= static_cast<long>(order_.size())) return b;
+      cv_ready_.wait(lk, [this] {
+        return stop_ || ready_.count(expect_pos_) || failed_.count(expect_pos_);
+      });
+      if (stop_ || failed_.count(expect_pos_)) return b;
+      Sample s = std::move(ready_[expect_pos_]);
+      ready_.erase(expect_pos_);
+      ++expect_pos_;
       lk.unlock();
-      cv_not_full_.notify_one();
+      cv_work_.notify_all();
       std::memcpy(images + b * img_elems, s.image.data(),
                   img_elems * sizeof(float));
       std::memcpy(depths + b * dep_elems, s.depth.data(),
@@ -114,20 +134,6 @@ class Loader {
   static std::string join(const std::string& root, const std::string& rel) {
     if (rel.empty() || rel.front() == '/' || root.empty()) return rel;
     return root + "/" + rel;
-  }
-
-  void refill_indices() {  // caller holds mu_ or constructor
-    epoch_indices_.resize(pairs_.size());
-    for (size_t i = 0; i < pairs_.size(); ++i) epoch_indices_[i] = i;
-    if (shuffle_)
-      std::shuffle(epoch_indices_.begin(), epoch_indices_.end(), rng_);
-    cursor_ = 0;
-  }
-
-  size_t next_index() {
-    std::lock_guard<std::mutex> lk(index_mu_);
-    if (cursor_ >= epoch_indices_.size()) refill_indices();
-    return epoch_indices_[cursor_++];
   }
 
   bool load_sample(size_t idx, Sample* out) {
@@ -185,11 +191,22 @@ class Loader {
   void worker_loop(int worker_id) {
     std::mt19937 retry_rng(static_cast<unsigned>(worker_id) * 7919u + 13u);
     while (true) {
+      long pos, gen;
+      size_t idx;
       {
-        std::lock_guard<std::mutex> lk(mu_);
+        std::unique_lock<std::mutex> lk(mu_);
+        // take the next position, but never run more than `capacity_`
+        // positions ahead of delivery — bounds the reorder buffer and
+        // guarantees the expected position is always admissible
+        cv_work_.wait(lk, [this] {
+          return stop_ || (take_pos_ < static_cast<long>(order_.size()) &&
+                           take_pos_ < expect_pos_ + capacity_);
+        });
         if (stop_) return;
+        pos = take_pos_++;
+        idx = static_cast<size_t>(order_[pos]) % pairs_.size();
+        gen = epoch_gen_;
       }
-      size_t idx = next_index();
       Sample s;
       bool ok = load_sample(idx, &s);
       // bounded random retry on corrupt files (data_loaders.py:64-191)
@@ -197,16 +214,16 @@ class Loader {
         idx = retry_rng() % pairs_.size();
         ok = load_sample(idx, &s);
       }
-      if (!ok) continue;  // give up on this slot, keep the stream alive
 
       std::unique_lock<std::mutex> lk(mu_);
-      cv_not_full_.wait(lk, [this] {
-        return stop_ || queue_.size() < static_cast<size_t>(capacity_);
-      });
-      if (stop_) return;
-      queue_.push_back(std::move(s));
+      if (gen != epoch_gen_) continue;  // stale epoch: drop the result
+      if (!ok) {
+        failed_.insert(pos);  // surfaced to next_batch as a short read
+      } else {
+        ready_.emplace(pos, std::move(s));
+      }
       lk.unlock();
-      cv_not_empty_.notify_one();
+      cv_ready_.notify_all();
     }
   }
 
@@ -214,17 +231,19 @@ class Loader {
   bool normalize_;
   bool raw_255_;
   int capacity_;
-  bool shuffle_;
-  std::mt19937 rng_;
 
   std::vector<std::pair<std::string, std::string>> pairs_;
-  std::vector<size_t> epoch_indices_;
-  size_t cursor_ = 0;
-  std::mutex index_mu_;
 
-  std::deque<Sample> queue_;
+  // epoch order + reorder buffer (all guarded by mu_)
+  std::vector<int64_t> order_;
+  long take_pos_ = 0;    // next position a worker will decode
+  long expect_pos_ = 0;  // next position next_batch delivers
+  long epoch_gen_ = 0;
+  std::map<long, Sample> ready_;
+  std::set<long> failed_;
+
   std::mutex mu_;
-  std::condition_variable cv_not_full_, cv_not_empty_;
+  std::condition_variable cv_work_, cv_ready_;
   bool stop_ = false;
   std::vector<std::thread> workers_;
 };
@@ -235,13 +254,11 @@ extern "C" {
 
 void* dad_loader_create(const char* csv_path, const char* root, int image_size,
                         int normalize, int raw_255, int num_threads,
-                        int queue_capacity, int shuffle, unsigned seed,
-                        int shard_index, int num_shards) {
+                        int queue_capacity) {
   try {
     auto* l = new Loader(csv_path ? csv_path : "", root ? root : "",
                          image_size, normalize != 0, raw_255 != 0, num_threads,
-                         queue_capacity, shuffle != 0, seed, shard_index,
-                         num_shards);
+                         queue_capacity);
     if (l->num_samples() == 0) {
       delete l;
       return nullptr;
@@ -250,6 +267,11 @@ void* dad_loader_create(const char* csv_path, const char* root, int image_size,
   } catch (...) {
     return nullptr;
   }
+}
+
+void dad_loader_set_epoch(void* handle, const int64_t* indices, long n) {
+  if (handle && indices && n >= 0)
+    static_cast<Loader*>(handle)->set_epoch(indices, n);
 }
 
 long dad_loader_num_samples(void* handle) {

@@ -527,20 +527,19 @@ def _prepare_nyu_native(cfg: TrainConfig, root_dir: str | None):
         shuffle=True, seed=cfg.seed,
         shard_index=launch.process_index(), num_shards=n_procs,
     )
-
-    def make_val_batches():
-        # a FRESH loader per validation pass: the native stream wraps around
-        # epochs internally, so reusing one loader would validate a drifting
-        # subset whenever n_val % batch_size != 0
-        loader = native_loader.NativeNYULoader(
+    val_loader = (
+        native_loader.NativeNYULoader(
             val_csv, root, image_size=cfg.image_size, batch_size=cfg.batch_size,
             shuffle=False, seed=cfg.seed,
             shard_index=launch.process_index(), num_shards=n_procs,
         )
-        try:
-            yield from loader.batches(val_steps)
-        finally:
-            loader.close()
+        if val_steps
+        else None
+    )
+
+    def make_val_batches():
+        # epoch=0 replays the same deterministic validation order each pass
+        yield from val_loader.batches(val_steps, epoch=0)
 
     logger.info(
         "native loader: %d train samples (%d steps/epoch), %d val steps",
@@ -552,12 +551,13 @@ def _prepare_nyu_native(cfg: TrainConfig, root_dir: str | None):
         if resume:
             trainer.resume(resume)
         try:
-            # NOTE: the native stream wraps epochs internally, so the
-            # fast-forward keeps the step->epoch bookkeeping right but the
-            # stream order itself restarts; exact-order resume needs the
-            # Python loader (iterate_batches is epoch-seeded).
+            # epoch-seeded orders + deterministic in-order delivery make the
+            # steps_per_epoch fast-forward DATA-EXACT, same as the Python
+            # loader (the skipped batches are re-decoded, not re-trained)
             return trainer.run(
-                train_batches=lambda epoch: train_loader.batches(steps_per_epoch),
+                train_batches=lambda epoch: train_loader.batches(
+                    steps_per_epoch, epoch=epoch
+                ),
                 val_batches=make_val_batches if val_steps else None,
                 max_steps=cfg.num_iterations or None,
                 profile_dir=profile_dir,
@@ -565,5 +565,7 @@ def _prepare_nyu_native(cfg: TrainConfig, root_dir: str | None):
             )
         finally:
             train_loader.close()
+            if val_loader is not None:
+                val_loader.close()
 
     return run
