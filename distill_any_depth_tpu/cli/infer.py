@@ -1,12 +1,20 @@
 """Single-image depth inference CLI.
 
-The working equivalent of tools/testers/infer.py: glob images, preprocess
-(Resize lower_bound multiple-of-14 + ImageNet normalize), batched jitted
-forward (bf16 by default on TPU), min-max normalize, Spectral_r colorize,
-save JPEGs. Multi-process NCCL launching is replaced by one process driving
-all local devices; images are sharded across chips rather than duplicated
-per rank (the reference ran the identical glob on every rank,
+The working equivalent of tools/testers/infer.py: glob images, preprocess,
+batched jitted forward (bf16 by default on TPU), min-max normalize,
+Spectral_r colorize, save JPEGs. Multi-process NCCL launching is replaced by
+one process driving all local devices; images are sharded across chips rather
+than duplicated per rank (the reference ran the identical glob on every rank,
 infer.py:169,187-193).
+
+Preprocessing runs ON DEVICE by default in fixed-resolution mode: the host
+only decodes, raw uint8 ships to the chip, and the resize (MXU matrix
+einsum) + /255 + ImageNet normalization run as XLA ops — unlike the
+reference, whose host does a full cv2 INTER_CUBIC resize + normalize per
+image (tools/testers/infer.py:125-127). ``--host_preprocess`` restores the
+cv2 path (bit-parity with the reference's sizing); native-resolution mode
+(``--processing_res 0``) always uses it because per-image lower_bound sizing
+is a host decision.
 """
 from __future__ import annotations
 
@@ -42,6 +50,12 @@ def argument_parser() -> argparse.ArgumentParser:
                         "SLOWER end-to-end (0.81x, kept as the documented "
                         "counter-example, docs/DESIGN.md)")
     p.add_argument("--cmap", default="Spectral_r")
+    p.add_argument(
+        "--host_preprocess", action="store_true",
+        help="resize + normalize on the host with cv2 (the reference's "
+        "pipeline, tools/testers/infer.py:125-127) instead of the default "
+        "device-side resize; implied by --processing_res 0",
+    )
     p.add_argument("--save_npy", action="store_true",
                    help="also write the raw min-max-normalized disparity at "
                         "processing resolution as .npy (the reference saves "
@@ -101,6 +115,17 @@ def main(args=None) -> list[str]:
         if args.processing_res > 0
         else None
     )
+
+    device_prep = None
+    if fixed_transform is not None and not args.host_preprocess:
+        from distill_any_depth_tpu.ops.preprocess import preprocess_on_device
+
+        res = args.processing_res
+        # one compiled program per distinct raw (H, W) — the host ships
+        # decoded uint8 and the square bicubic resize runs on the MXU
+        device_prep = jax.jit(
+            lambda raw: preprocess_on_device(raw[None], res, dtype=model.dtype)[0]
+        )
 
     def make_transform(h: int, w: int):
         if fixed_transform is not None:
@@ -173,10 +198,11 @@ def main(args=None) -> list[str]:
     def flush():
         if not pending:
             return
-        xs = np.stack([p[2] for p in pending])
+        xp = jnp if device_prep is not None else np
+        xs = xp.stack([p[2] for p in pending])
         if len(pending) < batch:  # pad the tail batch to the compiled shape
-            pad = np.repeat(xs[-1:], batch - len(pending), axis=0)
-            xs = np.concatenate([xs, pad])
+            pad = xp.repeat(xs[-1:], batch - len(pending), axis=0)
+            xs = xp.concatenate([xs, pad])
         xj = jnp.asarray(xs, model.dtype)
         if shard is not None:
             xj = jax.device_put(xj, shard)
@@ -190,9 +216,13 @@ def main(args=None) -> list[str]:
         if raw is None:
             logging.warning("skipping unreadable %s", path)
             continue
-        rgb = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        h, w = rgb.shape[:2]
-        x = make_transform(h, w)({"image": rgb})["image"]
+        rgb_u8 = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
+        h, w = rgb_u8.shape[:2]
+        if device_prep is not None:
+            x = device_prep(jnp.asarray(rgb_u8))  # host work ends at decode
+        else:
+            rgb = rgb_u8.astype(np.float32) / 255.0
+            x = make_transform(h, w)({"image": rgb})["image"]
         pending.append((i, path, x, h, w))
         if len(pending) >= batch:
             flush()

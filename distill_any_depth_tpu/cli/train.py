@@ -72,6 +72,10 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="SSF scale/shift adapters on the student")
     p.add_argument("--adapter_only", action="store_true",
                    help="freeze base weights, train only LoRA/SSF adapters")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="ship decoded uint8 NYU frames raw and run the "
+                        "square resize + ImageNet normalize on device (MXU "
+                        "matmul) instead of cv2-on-host per sample")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -144,6 +148,7 @@ def main(args=None) -> dict:
         teacher_dtype=args.teacher_dtype,
         teacher_quant=args.teacher_quant,
         adapter_only=args.adapter_only,
+        device_preprocess=args.device_preprocess,
     )
     kwargs = {}
     if args.resume:

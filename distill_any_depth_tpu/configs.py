@@ -252,6 +252,12 @@ class TrainConfig:
     # host IO: prefer the C++ threaded loader (native/dad_loader.cpp) when
     # buildable; falls back to the Python loader otherwise
     use_native_loader: bool = True
+    # ship decoded uint8 to the device and run the square resize (MXU
+    # matmul) + /255 + ImageNet normalize inside the jitted step instead of
+    # cv2-on-host per sample (the reference resizes on the host,
+    # tools/data_loaders.py:90-120). Uses the Python loader (the native
+    # loader's C++ resize is its own host-overlap strategy).
+    device_preprocess: bool = False
     # rematerialize student blocks in the backward pass (trade FLOPs for
     # HBM — enables larger batches / resolutions)
     student_remat: bool = False

@@ -59,7 +59,7 @@ def epoch_order(
 
 @dataclass
 class NYUSample:
-    image: np.ndarray  # [H, W, 3] float32
+    image: np.ndarray  # [H, W, 3] float32 (uint8 native-res when device_preprocess)
     depth: np.ndarray  # [H, W] float32 in [0, 1]
     rgb_path: str
 
@@ -73,10 +73,19 @@ class NYUDataset:
         raw_255: bool = False,
         root_dir: str | None = None,
         max_attempts: int = 10,
+        device_preprocess: bool = False,
     ):
+        """``device_preprocess=True`` skips the host-side RGB resize +
+        normalize: samples carry the decoded uint8 image at its NATIVE
+        resolution (all rows in a batch must share it — true for NYU's
+        uniform 640x480) and the consumer runs
+        ops/preprocess.preprocess_on_device inside the jitted step. Depth is
+        still nearest-resized to ``image_size`` on host (cheap, and unused
+        by the distillation step)."""
         self.mode = mode
         self.image_size = image_size
         self.raw_255 = raw_255
+        self.device_preprocess = device_preprocess
         self.root = os.path.abspath(root_dir or os.getcwd())
         self.max_attempts = max_attempts
 
@@ -104,9 +113,11 @@ class NYUDataset:
         if rgb is None:
             raise FileNotFoundError(rgb_path)
         rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
-        rgb = cv2.resize(
-            rgb, (self.image_size, self.image_size), interpolation=cv2.INTER_CUBIC
-        ).astype(np.float32)
+        if not self.device_preprocess:
+            rgb = cv2.resize(
+                rgb, (self.image_size, self.image_size),
+                interpolation=cv2.INTER_CUBIC,
+            ).astype(np.float32)
 
         depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
         if depth is None:
@@ -121,7 +132,9 @@ class NYUDataset:
         if depth.ndim == 3:
             depth = depth[..., 0]
 
-        if self.raw_255:
+        if self.device_preprocess:
+            image = rgb  # native-res uint8; resize + normalize run on device
+        elif self.raw_255:
             image = rgb  # reference quirk: unnormalized 0-255 floats
         else:
             image = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD

@@ -133,7 +133,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, hp: int, n_real: int,
         o_ref[h] = (o / denom).astype(q.dtype)
 
 
-def _banded_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
+def _banded_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc_ref,
+                   m_ref, l_ref,
                    *, hp: int, n_real: int, scale: float, gw: int, half: int,
                    gh: int, q_block: int, kv_block: int, nspan: int):
     """Online-softmax forward over the window band.
@@ -194,8 +195,14 @@ def _banded_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
     def _():
         for h in range(hp):
             denom = l_ref[h]
-            denom = jnp.where(denom == 0.0, 1.0, denom)  # padded q rows
-            o_ref[h] = (acc_ref[h] / denom).astype(o_ref.dtype)
+            safe = jnp.where(denom == 0.0, 1.0, denom)  # padded q rows
+            o_ref[h] = (acc_ref[h] / safe).astype(o_ref.dtype)
+            # log-sum-exp per q row, saved for the banded backward's
+            # probability recompute: p = exp(s - lse). +inf on fully-masked
+            # rows makes their recomputed p exactly 0.
+            lse_ref[h] = jnp.where(
+                denom == 0.0, jnp.inf, m_ref[h] + jnp.log(safe)
+            )
 
 
 def _band_bounds_traced(i, *, gw: int, half: int, gh: int, q_block: int,
@@ -214,22 +221,16 @@ def _band_bounds_traced(i, *, gw: int, half: int, gh: int, q_block: int,
     return lo_tok // kv_block, hi_tok // kv_block
 
 
-def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
-    """q/k/v: [BH, N, D] row-major over a (gh, gw) grid with NO prefix
-    tokens; band = (gw, window). bias: [1, N, N] window log-mask."""
-    bh, n, d = q.shape
-    gw, window = band
-    gh = n // gw
-    half = window // 2
-    scale = d ** -0.5
+def _banded_tiling(bh: int, n: int, d: int, itemsize: int):
+    """Shared fwd/bwd tiling for the banded kernels.
+
+    The VMEM footprint is per-KV-BLOCK, so q blocks can be far larger than
+    the dense kernel's — and should be, because each q tile pays a fixed
+    ~window-rows overlap of kv rows: bigger q tiles amortize it. kv blocks
+    stay small so the band is tracked tightly."""
     n_pad = _round_up(n, _LANE)
-    # Banded tiling: the VMEM footprint is per-KV-BLOCK, so q blocks can be
-    # far larger than the dense kernel's — and should be, because each q
-    # tile pays a fixed ~window-rows overlap of kv rows: bigger q tiles
-    # amortize it. kv blocks stay small so the band is tracked tightly.
     kv_block = min(256, n_pad)
     hp = next((x for x in (8, 4, 2, 1) if bh % x == 0), 1)
-    itemsize = q.dtype.itemsize
     # Pallas double-buffers every streamed input block, so q/bias count
     # twice; scores (fp32) + quantized exp are the kernel-stack part.
     per_q_row = (
@@ -243,9 +244,13 @@ def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
         int((_VMEM_BUDGET_BYTES * 0.85 - kv_fixed) / per_q_row), n_pad
     )
     q_block = max(q_block // 8 * 8, _LANE)
-    nq_pad = _round_up(n, q_block)
+    return hp, q_block, kv_block
 
-    # static max span in kv blocks (+1 covers block-boundary straddle)
+
+def _kv_span(n: int, gw: int, gh: int, half: int, q_block: int,
+             kv_block: int) -> int:
+    """Static max kv-block span any q block's band touches."""
+    nq_pad = _round_up(n, q_block)
     nspan = 0
     for i in range(nq_pad // q_block):
         r0 = (i * q_block) // gw
@@ -253,14 +258,52 @@ def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
         lo = (max(min(r0, gh - 1 - half), half) - half) * gw
         hi = (min(max(r1, half), gh - 1 - half) + half + 1) * gw - 1
         nspan = max(nspan, hi // kv_block - lo // kv_block + 1)
+    return nspan
 
-    def pad(x, target_n):
-        if x.shape[1] == target_n:
-            return x
-        return jnp.pad(x, ((0, 0), (0, target_n - x.shape[1]), (0, 0)))
+
+def _q_span(n: int, gw: int, gh: int, half: int, q_block: int,
+            kv_block: int) -> int:
+    """Static max q-block span that can see any kv block (inverse band)."""
+    nkv_pad = _round_up(n, kv_block)
+    nspan = 0
+    for jkv in range(nkv_pad // kv_block):
+        c0 = (jkv * kv_block) // gw
+        c1 = min(((jkv + 1) * kv_block - 1) // gw, gh - 1)
+        r_lo = 0 if c0 - half <= half else c0 - half
+        r_hi = gh - 1 if c1 + half >= gh - 1 - half else c1 + half
+        lo_tok = r_lo * gw
+        hi_tok = (r_hi + 1) * gw - 1
+        nspan = max(nspan, hi_tok // q_block - lo_tok // q_block + 1)
+    return nspan
+
+
+def _pad_rows(x, target_n, value=0.0):
+    if x.shape[1] == target_n:
+        return x
+    return jnp.pad(
+        x, ((0, 0), (0, target_n - x.shape[1]), (0, 0)),
+        constant_values=value,
+    )
+
+
+def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
+    """q/k/v: [BH, N, D] row-major over a (gh, gw) grid with NO prefix
+    tokens; band = (gw, window). bias: [1, N, N] window log-mask.
+    Returns ``(out, lse)`` — lse is the per-row log-sum-exp [BH, N, 1]
+    consumed by the banded backward."""
+    bh, n, d = q.shape
+    gw, window = band
+    gh = n // gw
+    half = window // 2
+    scale = d ** -0.5
+    hp, q_block, kv_block = _banded_tiling(bh, n, d, q.dtype.itemsize)
+    nq_pad = _round_up(n, q_block)
+    nspan = _kv_span(n, gw, gh, half, q_block, kv_block)
 
     nkv_pad = _round_up(n, kv_block)
-    qp, kp, vp = pad(q, nq_pad), pad(k, nkv_pad), pad(v, nkv_pad)
+    qp, kp, vp = (
+        _pad_rows(q, nq_pad), _pad_rows(k, nkv_pad), _pad_rows(v, nkv_pad)
+    )
     bias_p = jnp.pad(bias, ((0, 0), (0, nq_pad - n), (0, nkv_pad - n)))
 
     nkv_blocks = nkv_pad // kv_block
@@ -281,9 +324,12 @@ def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
         _banded_kernel, hp=hp, n_real=n, scale=scale, gw=gw, half=half,
         gh=gh, q_block=q_block, kv_block=kv_block, nspan=nspan,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq_pad, 1), jnp.float32),
+        ),
         grid=(bh // hp, nq_pad // q_block, nspan),
         in_specs=[
             pl.BlockSpec((hp, q_block, d), lambda b, i, j: (b, i, 0)),
@@ -291,7 +337,10 @@ def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
             pl.BlockSpec((hp, kv_block, d), kv_index),
             pl.BlockSpec((1, q_block, kv_block), bias_index),
         ],
-        out_specs=pl.BlockSpec((hp, q_block, d), lambda b, i, j: (b, i, 0)),
+        out_specs=(
+            pl.BlockSpec((hp, q_block, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((hp, q_block, 1), lambda b, i, j: (b, i, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((hp, q_block, d), jnp.float32),
             pltpu.VMEM((hp, q_block, 1), jnp.float32),
@@ -299,7 +348,7 @@ def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
         ],
         interpret=interpret,
     )(qp, kp, vp, bias_p)
-    return out[:, :n]
+    return out[:, :n], lse[:, :n]
 
 
 def _flash_fwd_impl(q, k, v, bias, interpret: bool):

@@ -118,6 +118,18 @@ class Trainer:
             self.state, self.tx = create_train_state(self.student_params, opt)
         self.lr_schedule = make_lr_schedule(opt)
 
+        self._device_prep = None
+        if cfg.device_preprocess:
+            import functools
+
+            from distill_any_depth_tpu.ops.preprocess import preprocess_on_device
+
+            # uint8 native-res batches -> [B, image_size, image_size, 3]
+            # float32; the resize is an MXU matmul, the host only decodes
+            self._device_prep = jax.jit(
+                functools.partial(preprocess_on_device, target=cfg.image_size)
+            )
+
         self._student_apply = lambda p, x: self.student.apply({"params": p}, x)  # noqa: E731
         self._teacher_applies = [
             (lambda p, x, m=m, d=teacher_dtype: m.apply({"params": p}, x.astype(d)))
@@ -202,7 +214,7 @@ class Trainer:
                         break
                     if self.train_step is None:
                         self._build_steps("global_image" not in batch)
-                    g, l = _views(batch, self.mesh)
+                    g, l = _views(batch, self.mesh, self._device_prep)
                     self.state, metrics = self.train_step(self.state, tp, g, l)
                     step += 1
                     # keep the loss on-device: a float() here would sync the
@@ -317,7 +329,7 @@ class Trainer:
         for i, batch in enumerate(batches):
             if self.eval_loss is None:
                 self._build_steps("global_image" not in batch)
-            g, l = _views(batch, self.mesh)
+            g, l = _views(batch, self.mesh, self._device_prep)
             comps = self.eval_loss(
                 self.state.params, tuple(self.teacher_params), jnp.int32(i), g, l
             )
@@ -350,10 +362,12 @@ class Trainer:
             self.state = TrainState(*self.state)
 
 
-def _views(batch: dict, mesh=None):
+def _views(batch: dict, mesh=None, prep=None):
     """Global/local views: NYU batches use the same image for both
     (reference :1493-1494); image-folder batches carry both. With a mesh the
-    batch axis is sharded over ``data``."""
+    batch axis is sharded over ``data``. uint8 batches (device_preprocess)
+    ship raw and run ``prep`` on device AFTER sharding — the host moves 4x
+    less data and the resize runs sharded on the MXU."""
     if "global_image" in batch:
         g = jnp.asarray(batch["global_image"])
         l = jnp.asarray(batch["local_image"])
@@ -364,6 +378,10 @@ def _views(batch: dict, mesh=None):
 
         g = shard_batch(mesh, g)
         l = g if l is g else shard_batch(mesh, l)
+    if prep is not None and g.dtype == jnp.uint8:
+        shared = l is g
+        g = prep(g)
+        l = g if shared else prep(l)
     return g, l
 
 
@@ -378,7 +396,7 @@ def train_nyu(
     Prefers the native C++ prefetching loader; falls back to the Python
     loader when the native runtime is unavailable.
     """
-    if cfg.use_native_loader:
+    if cfg.use_native_loader and not cfg.device_preprocess:
         # Fall back to the Python loader only when native SETUP fails; once
         # training starts, failures must propagate (a blanket except here
         # would silently restart a long run from scratch on any error).
@@ -389,10 +407,15 @@ def train_nyu(
             logger.exception("native loader setup failed; using Python loader")
         if native_run is not None:
             return native_run(resume, profile_dir)
+    elif cfg.use_native_loader:
+        logger.info(
+            "device_preprocess=True: using the Python loader (uint8 ships "
+            "raw; the native loader's C++ resize is the host-side strategy)"
+        )
 
     ds = NYUDataset(
         "train", dataset_dir=cfg.dataset_dir, image_size=cfg.image_size,
-        root_dir=root_dir,
+        root_dir=root_dir, device_preprocess=cfg.device_preprocess,
     )
     n_val = int(len(ds) * cfg.val_split)
     indices = list(range(len(ds)))

@@ -121,6 +121,40 @@ def test_infer_cli_batched_mesh(tmp_path):
         assert out is not None and out.shape == (60 + 4 * i, 90, 3), path
 
 
+def test_infer_cli_device_preprocess_matches_host(tmp_path):
+    """The default device-side preprocess (ship uint8, resize on the MXU)
+    must reproduce the --host_preprocess cv2 path: same raw disparity to
+    float tolerance (the bicubic matrix matches cv2 INTER_CUBIC ~1e-6)."""
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    # a real image, not noise: natural content keeps resize-kernel boundary
+    # differences from being amplified by the random-init network
+    import shutil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copy(
+        os.path.join(repo_root, "data", "smoke", "imgs", "000_colors.png"),
+        img_dir / "a.png",
+    )
+
+    disps = {}
+    for tag, extra in (("device", []), ("host", ["--host_preprocess"])):
+        args = cli_infer.argument_parser().parse_args(
+            [
+                "--arch_name", "depthanything-small",
+                "--input", str(img_dir),
+                "--output_dir", str(tmp_path / f"out_{tag}"),
+                "--processing_res", "98",
+                "--dtype", "float32",
+                "--save_npy",
+            ] + extra
+        )
+        written = cli_infer.main(args)
+        assert len(written) == 1
+        disps[tag] = np.load(tmp_path / f"out_{tag}" / "image_logs" / "depth_a.npy")
+    np.testing.assert_allclose(disps["device"], disps["host"], atol=1e-3)
+
+
 def test_infer_cli_batched_matches_single(tmp_path):
     """Batched sharded inference must produce the same depth JPEGs as the
     one-image-at-a-time path."""

@@ -115,6 +115,47 @@ def test_nyu_retry_on_corrupt(nyu_fixture):
     assert s.image.shape == (56, 56, 3)
 
 
+def test_nyu_device_preprocess_matches_host():
+    """device_preprocess=True ships native-res uint8; the device resize +
+    normalize reproduces the host pipeline. Exact vs cv2-on-float (2e-7);
+    vs the dataset's cv2-on-uint8 path only up to uint8 quantization and
+    saturated cubic overshoot — negligible on natural images (the bundled
+    smoke frames), which is why the comparison uses them and not noise."""
+    import jax.numpy as jnp
+
+    from distill_any_depth_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from distill_any_depth_tpu.ops.preprocess import preprocess_on_device
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    kw = dict(dataset_dir=os.path.join(repo_root, "data", "smoke"),
+              image_size=56, root_dir=repo_root)
+    host_ds = NYUDataset("train", **kw)
+    dev_ds = NYUDataset("train", device_preprocess=True, **kw)
+
+    s = dev_ds[0]
+    assert s.image.dtype == np.uint8 and s.image.ndim == 3
+    assert s.depth.shape == (56, 56)  # depth still host-resized
+
+    batch = np.stack([dev_ds[i].image for i in range(3)])
+    dev = np.asarray(preprocess_on_device(jnp.asarray(batch), 56))
+
+    # exact contract: cv2 INTER_CUBIC on float input
+    ref = np.stack([
+        cv2.resize(img.astype(np.float32) / 255.0, (56, 56),
+                   interpolation=cv2.INTER_CUBIC)
+        for img in batch
+    ])
+    ref = (ref - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(dev, ref.astype(np.float32), atol=1e-5)
+
+    # host dataset path (cv2 resize on uint8): equal up to its fixed-point
+    # quantization and the per-pixel saturation of cubic overshoot at sharp
+    # edges (bounded max excursion, tiny on average)
+    host = np.stack([host_ds[i].image for i in range(3)])
+    diff = np.abs(dev - host)
+    assert diff.mean() < 0.01 and diff.max() < 0.5
+
+
 def test_image_folder_dataset(tmp_path):
     rng = np.random.RandomState(0)
     for i in range(2):

@@ -111,6 +111,45 @@ def test_train_images_path(tmp_path):
     assert os.path.exists(tmp_path / "out" / "student_final.safetensors")
 
 
+def test_train_nyu_device_preprocess(tmp_path):
+    """End-to-end train_nyu with device_preprocess=True: uint8 batches ship
+    raw, the jitted prep resizes on device, and the run completes with
+    finite loss."""
+    from distill_any_depth_tpu import configs
+    from distill_any_depth_tpu.train.loop import train_nyu
+
+    configs.MODELS["tiny-dp-s"] = tiny_model_cfg("tiny-dp-s")
+    configs.MODELS["tiny-dp-t"] = tiny_model_cfg("tiny-dp-t")
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(4):
+        cv2.imwrite(str(d / f"rgb{i}.png"),
+                    rng.randint(0, 255, (64, 80, 3), np.uint8))
+        cv2.imwrite(str(d / f"dep{i}.png"),
+                    rng.randint(0, 255, (64, 80), np.uint8))
+        rows.append(f"data/rgb{i}.png,data/dep{i}.png")
+    (d / "nyu2_train.csv").write_text("\n".join(rows))
+
+    cfg = TrainConfig(
+        student=configs.MODELS["tiny-dp-s"],
+        teachers=("tiny-dp-t",),
+        loss=LossConfig(use_hdn=False),
+        optimizer=OptimizerConfig(total_steps=4),
+        batch_size=2, image_size=56, num_epochs=1, val_split=0.0,
+        checkpoint_interval=0, log_interval=10, visualize_interval=0,
+        output_dir=str(tmp_path / "out"), dataset_dir=str(d),
+        device_preprocess=True,
+    )
+    try:
+        hist = train_nyu(cfg, root_dir=str(tmp_path))
+        assert len(hist["train_loss"]) == 1
+        assert np.isfinite(hist["train_loss"][0])
+    finally:
+        del configs.MODELS["tiny-dp-s"], configs.MODELS["tiny-dp-t"]
+
+
 def test_resume_continues_exact_data_order(tmp_path):
     """With steps_per_epoch, a resumed Trainer.run fast-forwards to the
     right epoch and skips the already-consumed batches of that epoch — the
