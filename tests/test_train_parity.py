@@ -74,6 +74,9 @@ def _reference_trajectory(ref_student, ref_teacher, mod, batches):
     return losses
 
 
+WARMUP_STEPS = 15
+
+
 def test_training_trajectory_matches_reference():
     torch.manual_seed(0)
     DepthAnythingV2 = load_reference_student()
@@ -84,6 +87,21 @@ def test_training_trajectory_matches_reference():
     ref_teacher = DepthAnythingV2(**kwargs)
     ref_student.train()
     ref_teacher.eval()
+
+    # Pre-condition the torch student with real optimizer steps BEFORE
+    # converting weights: at random init the depth map is ~50% exact ReLU
+    # zeros, so the loss normalizations' medians have massive TIES and
+    # torch/JAX route the (arbitrary within the subdifferential) median
+    # subgradient to different tied elements, making trajectories diverge
+    # at 50% by step 2. After 15 warmup steps the exact-zero fraction is
+    # ~8e-5, the medians are unique, and a 3-step trajectory holds to
+    # <=5e-2 on every component (measured: 9e-6 / 6e-5 / 1.3e-2).
+    warm_rng = np.random.RandomState(123)
+    _reference_trajectory(ref_student, ref_teacher, mod, [
+        (warm_rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32),
+         warm_rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32))
+        for _ in range(WARMUP_STEPS)
+    ])
 
     cfg = MODELS["depthanything-small"]
     sp = torch_to_params(
@@ -121,29 +139,17 @@ def test_training_trajectory_matches_reference():
         tx, loss_cfg, seed=0,
     )
 
-    # Step 0 is the strong check: every loss component AND the global
-    # gradient norm (full forward+backward through both models and all five
-    # losses) must match the torch reference tightly. Later steps can only
-    # be sanity-bounded: at random init the gradients are noise-like, so
-    # Adam's g/sqrt(v) ~ sign(g)*lr update flips directions on fp-level
-    # gradient differences, and the normalized losses (MAD denominators of
-    # near-constant random-init depth maps) amplify the divergence — no
-    # learning-rate choice makes step-1 losses numerically stable.
-    rtols = [2e-3, 0.5, 0.5]
+    # With the tie-breaking warmup, every step holds tight: fp-level at
+    # step 0, then fp divergence compounding through Adam's rsqrt at ~20x
+    # per step (measured 9e-6 / 6e-5 / 1.3e-2 max component rel error).
+    rtols = [2e-3, 5e-3, 5e-2]
     for i, (xg, xl) in enumerate(batches):
         state, metrics = step(state, (tp,), jnp.asarray(xg), jnp.asarray(xl))
         assert float(metrics["lg"]) > 1e-3  # non-vacuous LG component
         if i == 0:
-            # rtol 0.1, not fp-level: random-init depth maps are mostly ReLU
-            # zeros, so the normalization medians have many TIES and torch
-            # vs JAX route the (arbitrary within the subdifferential)
-            # median subgradient to different tied elements. Verified: on
-            # tie-free inputs the global_normalize vjp matches torch to
-            # 4e-6 and each individual loss's model-gradient matches to
-            # 1e-4 (see the sc/grad/hdn component checks in the suite).
             np.testing.assert_allclose(
                 float(metrics["grad_norm"]), ref_losses[0]["grad_norm"],
-                rtol=0.1, err_msg="step 0 gradient norm",
+                rtol=0.01, err_msg="step 0 gradient norm",
             )
         for key in ("sc", "lg", "feat", "grad", "hdn", "total"):
             np.testing.assert_allclose(
