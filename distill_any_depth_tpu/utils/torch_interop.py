@@ -56,6 +56,13 @@ def _t(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(x.T)
 
 
+# LoRA scaling bridge: the reference's LoRALinear uses lora_alpha=1, r=8
+# (ViT_DINO_reg.py:402,410 -> scaling = alpha/r = 1/8) while LoRADense uses
+# alpha=8 (scaling = 8/r = 1). x A^T B^T / 8 == x a b * 1 when a = A^T and
+# b = B^T / 8 — the factor is a power of two, so the round-trip is exact.
+_LORA_B_REF_TO_OURS = 1.0 / 8.0
+
+
 def _conv_hwio(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(x, (2, 3, 1, 0)))
 
@@ -128,6 +135,17 @@ def torch_to_params(
             elif rest.endswith(".bias"):
                 mod = rest[: -len(".bias")]
                 _set(params, base + tuple(mod.split(".")) + ("bias",), v)
+            elif rest.endswith(".lora_A"):
+                # reference LoRALinear A [r, in] -> LoRADense lora_a [in, r]
+                mod = rest[: -len(".lora_A")]
+                _set(params, base + tuple(mod.split(".")) + ("lora_a",), _t(v))
+            elif rest.endswith(".lora_B"):
+                # B [out, r] -> lora_b [r, out], folding the alpha ratio
+                mod = rest[: -len(".lora_B")]
+                _set(
+                    params, base + tuple(mod.split(".")) + ("lora_b",),
+                    _t(v) * _LORA_B_REF_TO_OURS,
+                )
             else:
                 unused.append(key)
         elif key.startswith("depth_head.projects."):
@@ -209,10 +227,32 @@ def params_to_torch(params: Mapping, cfg: ModelConfig) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     p = cfg.encoder.patch_size
     for path, v in _flatten(params).items():
-        # adapter params (LoRA/SSF) are framework-native with no torch
-        # counterpart: exported verbatim under an 'adapters.' namespace so
-        # adapter-only checkpoints stay complete (torch loaders ignore the
-        # extra keys; torch_to_params restores them exactly)
+        # Encoder-block LoRA exports in the REFERENCE's own convention
+        # (LoRALinear lora_A [r,in] / lora_B [out,r], ViT_DINO_reg.py:87-88)
+        # so its loaders consume our adapters directly; the alpha-ratio fold
+        # is inverted exactly (power of two). SSF stays framework-native
+        # under 'adapters.': the reference applies it INSIDE its modules at
+        # different tap points/dims (e.g. ssf_scale_1 on the 3C qkv output),
+        # so no 1:1 torch mapping exists.
+        if (
+            path[-1] in ("lora_a", "lora_b")
+            and len(path) >= 2 and path[0] == "pretrained"
+            and str(path[1]).startswith("blocks_")
+        ):
+            i = str(path[1]).split("_")[1]
+            mod = ".".join(path[2:-1])
+            if path[-1] == "lora_a":
+                out[f"pretrained.blocks.{i}.{mod}.lora_A"] = _t(v)
+            else:
+                out[f"pretrained.blocks.{i}.{mod}.lora_B"] = _t(
+                    np.asarray(v) / _LORA_B_REF_TO_OURS
+                )
+            continue
+        # other adapter params (SSF, any non-block LoRA) are framework-
+        # native with no torch counterpart: exported verbatim under an
+        # 'adapters.' namespace so adapter-only checkpoints stay complete
+        # (torch loaders ignore the extra keys; torch_to_params restores
+        # them exactly)
         if path[-1] in ("lora_a", "lora_b") or any(
             str(seg).startswith("ssf_") for seg in path
         ):

@@ -117,9 +117,11 @@ def test_register_tokens_variant():
 
 
 def test_torch_export_carries_adapters(tmp_path):
-    """Adapter leaves export under the 'adapters.' framework namespace
-    (torch loaders ignore them; ours restores them exactly) — adapter-only
-    checkpoints are complete, not frozen-base-only."""
+    """Adapter checkpoints are complete, not frozen-base-only: encoder-block
+    LoRA exports in the REFERENCE's own key convention (lora_A [r,in] /
+    lora_B [out,r], ViT_DINO_reg.py:87-88) so its loaders consume it; SSF
+    (no 1:1 torch mapping — the reference taps inside its modules at other
+    dims) stays under the 'adapters.' framework namespace."""
     cfg = _adapter_cfg(lora_rank=4, use_ssf=True)
     model = create_model(cfg)
     params = init_params(model, 0, image_size=56)
@@ -127,14 +129,19 @@ def test_torch_export_carries_adapters(tmp_path):
     ckpt_io.save_safetensors(path, params, cfg)
     from safetensors import numpy as st_numpy
 
-    keys = st_numpy.load_file(path).keys()
+    tensors = st_numpy.load_file(path)
+    keys = tensors.keys()
     adapter_keys = [k for k in keys if k.startswith("adapters.")]
-    assert adapter_keys and all(
-        "lora_" in k or ".ssf_" in k for k in adapter_keys
-    )
-    # torch-namespace keys stay clean of adapters (reference interop intact)
+    assert adapter_keys and all(".ssf_" in k for k in adapter_keys)
+    lora_keys = [k for k in keys if k.endswith((".lora_A", ".lora_B"))]
+    assert lora_keys and all(k.startswith("pretrained.blocks.") for k in lora_keys)
+    # reference convention: A [r, in], B [out, r]
+    a = tensors["pretrained.blocks.0.attn.qkv.lora_A"]
+    b = tensors["pretrained.blocks.0.attn.qkv.lora_B"]
+    assert a.shape[0] == 4 and b.shape[1] == 4
+    # no framework-layout lora leaks outside the reference keys
     assert not any(
-        ("lora" in k or "ssf" in k) for k in keys if not k.startswith("adapters.")
+        "lora" in k for k in keys if not k.endswith((".lora_A", ".lora_B"))
     )
 
     # loading back (no template needed) restores the exact tree
@@ -227,3 +234,50 @@ def test_adapter_only_without_adapters_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="no LoRA/SSF"):
         Trainer(cfg)
+
+
+def test_lora_reference_interop_semantics():
+    """Converted reference LoRA weights reproduce the reference LoRALinear
+    math exactly (ViT_DINO_reg.py:126-131: y = xW^T + b + x A^T B^T * a/r),
+    and the export path round-trips bit-exactly (the alpha-ratio fold is a
+    power of two)."""
+    import sys
+    sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+    from reference_loader import reference_available, load_reference_vit_dino_reg
+
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    torch = pytest.importorskip("torch")
+    mod = load_reference_vit_dino_reg()
+
+    torch.manual_seed(0)
+    lin = mod.LoRALinear(16, 48, r=4, bias=True)
+    with torch.no_grad():  # B is zero-init; randomize for a non-trivial check
+        lin.lora_B.copy_(torch.randn_like(lin.lora_B))
+    x = torch.randn(2, 16)
+    with torch.no_grad():
+        y_ref = lin(x).numpy()
+
+    from distill_any_depth_tpu.models.adapters import LoRADense
+    from distill_any_depth_tpu.utils.torch_interop import (
+        params_to_torch, torch_to_params,
+    )
+
+    state = {
+        "pretrained.blocks.0.attn.qkv.weight": lin.weight.detach().numpy(),
+        "pretrained.blocks.0.attn.qkv.bias": lin.bias.detach().numpy(),
+        "pretrained.blocks.0.attn.qkv.lora_A": lin.lora_A.detach().numpy(),
+        "pretrained.blocks.0.attn.qkv.lora_B": lin.lora_B.detach().numpy(),
+    }
+    cfg = _adapter_cfg(lora_rank=4)
+    tree = torch_to_params(state, cfg, strict=False)
+    qkv = tree["pretrained"]["blocks_0"]["attn"]["qkv"]
+
+    dense = LoRADense(features=48, rank=4)  # alpha=8 default
+    y = dense.apply({"params": qkv}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-6)
+
+    # export round-trip: reference keys back out, bit-identical values
+    out = params_to_torch(tree, cfg)
+    for key in state:
+        np.testing.assert_array_equal(out[key], state[key])
