@@ -133,10 +133,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, hp: int, n_real: int,
         o_ref[h] = (o / denom).astype(q.dtype)
 
 
-def _banded_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc_ref,
+def _banded_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref,
                    m_ref, l_ref,
                    *, hp: int, n_real: int, scale: float, gw: int, half: int,
-                   gh: int, q_block: int, kv_block: int, nspan: int):
+                   gh: int, q_block: int, kv_block: int, nspan: int,
+                   lse_ref=None):
     """Online-softmax forward over the window band.
 
     Grid ``(bh/hp, nq, nspan)`` with the kv dimension innermost; the k/v/bias
@@ -197,12 +198,23 @@ def _banded_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc_ref,
             denom = l_ref[h]
             safe = jnp.where(denom == 0.0, 1.0, denom)  # padded q rows
             o_ref[h] = (acc_ref[h] / safe).astype(o_ref.dtype)
-            # log-sum-exp per q row, saved for the banded backward's
-            # probability recompute: p = exp(s - lse). +inf on fully-masked
-            # rows makes their recomputed p exactly 0.
-            lse_ref[h] = jnp.where(
-                denom == 0.0, jnp.inf, m_ref[h] + jnp.log(safe)
-            )
+            if lse_ref is not None:
+                # log-sum-exp per q row, saved for the banded backward's
+                # probability recompute: p = exp(s - lse). +inf on fully-
+                # masked rows makes their recomputed p exactly 0. Stored in
+                # ROW layout [.., 1, q_block] (q rows in the lane dim): a
+                # [.., q_block, 1] output block measured a 21x kernel
+                # slowdown (1-lane blocks break Mosaic's pipelining).
+                lse_ref[h] = jnp.swapaxes(
+                    jnp.where(denom == 0.0, jnp.inf, m_ref[h] + jnp.log(safe)),
+                    0, 1,
+                )
+
+
+def _banded_kernel_lse(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc_ref,
+                       m_ref, l_ref, **kw):
+    _banded_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref,
+                   l_ref, lse_ref=lse_ref, **kw)
 
 
 def _band_bounds_traced(i, *, gw: int, half: int, gh: int, q_block: int,
@@ -221,29 +233,58 @@ def _band_bounds_traced(i, *, gw: int, half: int, gh: int, q_block: int,
     return lo_tok // kv_block, hi_tok // kv_block
 
 
-def _banded_tiling(bh: int, n: int, d: int, itemsize: int):
+def _inv_band_bounds_traced(jkv, *, gw: int, half: int, gh: int, q_block: int,
+                            kv_block: int):
+    """q block range [i0, i_hi] (inclusive) whose band covers kv block
+    ``jkv`` — the inverse of ``_band_bounds_traced``.
+
+    Key row c is visible from query row r iff clip(r, half, gh-1-half) is
+    in [c-half, c+half]: rows below the clip floor see the first
+    2*half+1 key rows, rows above the ceiling see the last ones."""
+    c0 = (jkv * kv_block) // gw
+    c1 = ((jkv + 1) * kv_block - 1) // gw
+    r_lo = jnp.where(c0 - half <= half, 0, c0 - half)
+    r_hi = jnp.where(c1 + half >= gh - 1 - half, gh - 1, c1 + half)
+    lo_tok = r_lo * gw
+    hi_tok = (r_hi + 1) * gw - 1
+    return lo_tok // q_block, hi_tok // q_block
+
+
+def _banded_tiling(bh: int, n: int, d: int, itemsize: int,
+                   score_bytes: int = 12, lane_stats: bool = False):
     """Shared fwd/bwd tiling for the banded kernels.
 
     The VMEM footprint is per-KV-BLOCK, so q blocks can be far larger than
     the dense kernel's — and should be, because each q tile pays a fixed
     ~window-rows overlap of kv rows: bigger q tiles amortize it. kv blocks
-    stay small so the band is tracked tightly."""
+    stay small so the band is tracked tightly.
+
+    ``score_bytes``: peak live kernel-stack bytes per score element. The
+    forward keeps the fp32 scores, the fp32 exp temp and its quantized copy
+    live at once (4+4+itemsize, plus slack for Mosaic's scheduling — the
+    two-output form measured ~2 MB past the naive estimate); the backward
+    kernels hold s/p/dp/ds fp32 tiles simultaneously (pass ~18)."""
     n_pad = _round_up(n, _LANE)
     kv_block = min(256, n_pad)
     hp = next((x for x in (8, 4, 2, 1) if bh % x == 0), 1)
     # Pallas double-buffers every streamed input block, so q/bias count
-    # twice; scores (fp32) + quantized exp are the kernel-stack part.
+    # twice; the score-sized temporaries are the kernel-stack part.
     per_q_row = (
-        hp * kv_block * 6            # fp32 scores + exp buffer
+        hp * kv_block * score_bytes
         + 2 * kv_block * 4           # bias block, double-buffered
         + hp * d * (4 + 4 * itemsize)  # fp32 acc + double-buffered q/o
-        + hp * 8                     # m/l rows
+        + hp * 32                    # m/l/lse/delta rows
     )
     kv_fixed = 4 * hp * kv_block * d * itemsize  # k+v, double-buffered
     q_block = min(
         int((_VMEM_BUDGET_BYTES * 0.85 - kv_fixed) / per_q_row), n_pad
     )
-    q_block = max(q_block // 8 * 8, _LANE)
+    if lane_stats:
+        # row-layout lse/delta blocks put q rows in the LANE dim — Mosaic
+        # requires lane-dim blocks be multiples of 128
+        q_block = max(q_block // _LANE * _LANE, _LANE)
+    else:
+        q_block = max(q_block // 8 * 8, _LANE)
     return hp, q_block, kv_block
 
 
@@ -286,17 +327,24 @@ def _pad_rows(x, target_n, value=0.0):
     )
 
 
-def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
+def _banded_fwd_impl(q, k, v, bias, band, interpret: bool,
+                     with_lse: bool = False):
     """q/k/v: [BH, N, D] row-major over a (gh, gw) grid with NO prefix
     tokens; band = (gw, window). bias: [1, N, N] window log-mask.
-    Returns ``(out, lse)`` — lse is the per-row log-sum-exp [BH, N, 1]
-    consumed by the banded backward."""
+
+    Returns ``out``, or ``(out, lse)`` when ``with_lse`` — lse is the
+    per-row log-sum-exp in ROW layout [BH, 1, N] fp32, consumed by the
+    banded backward (inference skips it: the extra output costs kernel
+    pipelining)."""
     bh, n, d = q.shape
     gw, window = band
     gh = n // gw
     half = window // 2
     scale = d ** -0.5
-    hp, q_block, kv_block = _banded_tiling(bh, n, d, q.dtype.itemsize)
+    hp, q_block, kv_block = _banded_tiling(
+        bh, n, d, q.dtype.itemsize,
+        score_bytes=12 if with_lse else 6, lane_stats=with_lse,
+    )
     nq_pad = _round_up(n, q_block)
     nspan = _kv_span(n, gw, gh, half, q_block, kv_block)
 
@@ -320,16 +368,24 @@ def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
         j0, j_hi = bounds(i)
         return (0, i, jnp.minimum(jnp.minimum(j0 + j, j_hi), nkv_blocks - 1))
 
-    kernel = functools.partial(
-        _banded_kernel, hp=hp, n_real=n, scale=scale, gw=gw, half=half,
+    common = dict(
+        hp=hp, n_real=n, scale=scale, gw=gw, half=half,
         gh=gh, q_block=q_block, kv_block=kv_block, nspan=nspan,
     )
-    out, lse = pl.pallas_call(
+    o_spec = pl.BlockSpec((hp, q_block, d), lambda b, i, j: (b, i, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype)
+    if with_lse:
+        kernel = functools.partial(_banded_kernel_lse, **common)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32))
+        out_specs = (o_spec,
+                     pl.BlockSpec((hp, 1, q_block), lambda b, i, j: (b, 0, i)))
+    else:
+        kernel = functools.partial(_banded_kernel, **common)
+        out_specs = o_spec
+    res = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, nq_pad, 1), jnp.float32),
-        ),
+        out_shape=out_shape,
         grid=(bh // hp, nq_pad // q_block, nspan),
         in_specs=[
             pl.BlockSpec((hp, q_block, d), lambda b, i, j: (b, i, 0)),
@@ -337,10 +393,7 @@ def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
             pl.BlockSpec((hp, kv_block, d), kv_index),
             pl.BlockSpec((1, q_block, kv_block), bias_index),
         ],
-        out_specs=(
-            pl.BlockSpec((hp, q_block, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((hp, q_block, 1), lambda b, i, j: (b, i, 0)),
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((hp, q_block, d), jnp.float32),
             pltpu.VMEM((hp, q_block, 1), jnp.float32),
@@ -348,7 +401,10 @@ def _banded_fwd_impl(q, k, v, bias, band, interpret: bool):
         ],
         interpret=interpret,
     )(qp, kp, vp, bias_p)
-    return out[:, :n], lse[:, :n]
+    if with_lse:
+        out, lse = res
+        return out[:, :n], lse[:, :, :n]
+    return res[:, :n]
 
 
 def _flash_fwd_impl(q, k, v, bias, interpret: bool):
@@ -726,6 +782,237 @@ def _bwd_bias_kernel_adapter(q_ref, k_ref, v_ref, do_ref, bias_ref,
                 n_real=n_real, scale=scale, bias_ref=bias_ref)
 
 
+def _banded_tile_grads(h, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                       delta_ref, kv_start, n_real: int, scale: float):
+    """Shared per-(head, tile) math of both banded backward kernels:
+    recompute this tile's probabilities from the saved row log-sum-exp and
+    return ``(p, ds, dof)`` — everything dq/dk/dv need. ``lse_ref``/
+    ``delta_ref`` hold the per-q-row stats in ROW layout [hp, 1, q_block]
+    (see _banded_kernel)."""
+    s = jax.lax.dot_general(
+        q_ref[h], k_ref[h],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [qb, kvb] fp32
+    s = s + bias_ref[0].astype(jnp.float32)
+    col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_real, s, -jnp.inf)
+    # exact softmax via the forward's stats: lse=+inf on fully-masked or
+    # padded rows makes p identically 0 there
+    p = jnp.exp(s - jnp.swapaxes(lse_ref[h], 0, 1))  # fp32
+    dp = jax.lax.dot_general(
+        do_ref[h], v_ref[h],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [qb, kvb] fp32 accumulate from input-dtype operands
+    ds = p * (dp - jnp.swapaxes(delta_ref[h], 0, 1)) * scale
+    # quantize the score-sized operands to the input dtype: the dk/dv/dq
+    # dots then run at full bf16 MXU rate (fp32 operands measured ~8x
+    # slower end-to-end: 30.4 -> 4.9 ms fwd+bwd at the 74x74 grid);
+    # accumulation stays fp32 via preferred_element_type, and for fp32
+    # inputs (parity tests) the casts are identity
+    return p.astype(q_ref.dtype), ds.astype(q_ref.dtype), do_ref[h]
+
+
+def _banded_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, acc_ref, *, hp: int, n_real: int,
+                      scale: float, gw: int, half: int, gh: int, q_block: int,
+                      kv_block: int, nspan: int):
+    """dq over the band: same sliding kv index maps as the forward;
+    dq accumulates in VMEM scratch across the (sequential) kv span."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    j0, j_hi = _band_bounds_traced(i, gw=gw, half=half, gh=gh,
+                                   q_block=q_block, kv_block=kv_block)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j0 + j <= j_hi)
+    def _():
+        kv_start = (j0 + j) * kv_block
+        for h in range(hp):
+            _, ds, _ = _banded_tile_grads(
+                h, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                delta_ref, kv_start, n_real, scale,
+            )
+            acc_ref[h] += jax.lax.dot_general(
+                ds, k_ref[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [qb, D]
+
+    @pl.when(j == nspan - 1)
+    def _():
+        for h in range(hp):
+            dq_ref[h] = acc_ref[h].astype(dq_ref.dtype)
+
+
+def _banded_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, hp: int,
+                       n_real: int, scale: float, gw: int, half: int, gh: int,
+                       q_block: int, kv_block: int, nspan: int):
+    """dk/dv over the inverse band: this program's kv block stays resident;
+    the q/do/lse/delta tiles slide over the q blocks that can see it."""
+    jkv = pl.program_id(1)
+    jj = pl.program_id(2)
+    i0, i_hi = _inv_band_bounds_traced(jkv, gw=gw, half=half, gh=gh,
+                                       q_block=q_block, kv_block=kv_block)
+
+    @pl.when(jj == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(i0 + jj <= i_hi)
+    def _():
+        kv_start = jkv * kv_block
+        for h in range(hp):
+            p, ds, dof = _banded_tile_grads(
+                h, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                delta_ref, kv_start, n_real, scale,
+            )
+            dk_acc[h] += jax.lax.dot_general(
+                ds, q_ref[h],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [kvb, D]
+            dv_acc[h] += jax.lax.dot_general(
+                p, dof,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [kvb, D]
+
+    @pl.when(jj == nspan - 1)
+    def _():
+        for h in range(hp):
+            dk_ref[h] = dk_acc[h]
+            dv_ref[h] = dv_acc[h]
+
+
+def _banded_bwd_impl(q, k, v, bias, do, lse, delta, band, interpret: bool):
+    """Banded attention backward: both kernels only visit the band, so the
+    windowed backward is O(N * band) like the forward (the dense blockwise
+    backward re-ran the full O(N^2) under the mask — and cannot even
+    compile at the 74x74 grid: its full-row bias tile alone needs 27 MB of
+    VMEM). ``lse``/``delta`` are [BH, 1, N] fp32 row-layout stats: the
+    forward's log-sum-exp and rowsum(do * o)."""
+    bh, n, d = q.shape
+    gw, window = band
+    gh = n // gw
+    half = window // 2
+    scale = d ** -0.5
+    # s/p/dp/ds fp32 tiles live together in the backward kernels
+    hp, q_block, kv_block = _banded_tiling(
+        bh, n, d, q.dtype.itemsize, score_bytes=18, lane_stats=True
+    )
+    nq_pad = _round_up(n, q_block)
+    nkv_pad = _round_up(n, kv_block)
+    nspan_kv = _kv_span(n, gw, gh, half, q_block, kv_block)
+    nspan_q = _q_span(n, gw, gh, half, q_block, kv_block)
+    nq_blocks = nq_pad // q_block
+    nkv_blocks = nkv_pad // kv_block
+
+    qp, dop = _pad_rows(q, nq_pad), _pad_rows(do, nq_pad)
+    kp, vp = _pad_rows(k, nkv_pad), _pad_rows(v, nkv_pad)
+    # +inf lse on padded q rows -> their recomputed p is exactly 0
+    lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, nq_pad - n)),
+                   constant_values=jnp.inf)
+    deltap = jnp.pad(delta, ((0, 0), (0, 0), (0, nq_pad - n)))
+    bias_p = jnp.pad(bias, ((0, 0), (0, nq_pad - n), (0, nkv_pad - n)))
+
+    bounds = functools.partial(
+        _band_bounds_traced, gw=gw, half=half, gh=gh, q_block=q_block,
+        kv_block=kv_block,
+    )
+    inv_bounds = functools.partial(
+        _inv_band_bounds_traced, gw=gw, half=half, gh=gh, q_block=q_block,
+        kv_block=kv_block,
+    )
+
+    def kv_index(b, i, j):
+        j0, j_hi = bounds(i)
+        return (b, jnp.minimum(jnp.minimum(j0 + j, j_hi), nkv_blocks - 1), 0)
+
+    def bias_index(b, i, j):
+        j0, j_hi = bounds(i)
+        return (0, i, jnp.minimum(jnp.minimum(j0 + j, j_hi), nkv_blocks - 1))
+
+    def q_row_index(b, i, j):
+        return (b, i, 0)
+
+    common = dict(
+        hp=hp, n_real=n, scale=scale, gw=gw, half=half, gh=gh,
+        q_block=q_block, kv_block=kv_block,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_banded_dq_kernel, nspan=nspan_kv, **common),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        grid=(bh // hp, nq_blocks, nspan_kv),
+        in_specs=[
+            pl.BlockSpec((hp, q_block, d), q_row_index),
+            pl.BlockSpec((hp, kv_block, d), kv_index),
+            pl.BlockSpec((hp, kv_block, d), kv_index),
+            pl.BlockSpec((1, q_block, kv_block), bias_index),
+            pl.BlockSpec((hp, q_block, d), q_row_index),
+            pl.BlockSpec((hp, 1, q_block), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((hp, 1, q_block), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((hp, q_block, d), q_row_index),
+        scratch_shapes=[pltpu.VMEM((hp, q_block, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, dop, lsep, deltap)
+
+    def q_inv_index(b, jkv, jj):
+        i0, i_hi = inv_bounds(jkv)
+        return (b, jnp.minimum(jnp.minimum(i0 + jj, i_hi), nq_blocks - 1), 0)
+
+    def q_stats_inv_index(b, jkv, jj):
+        i0, i_hi = inv_bounds(jkv)
+        return (b, 0, jnp.minimum(jnp.minimum(i0 + jj, i_hi), nq_blocks - 1))
+
+    def bias_inv_index(b, jkv, jj):
+        i0, i_hi = inv_bounds(jkv)
+        return (0, jnp.minimum(jnp.minimum(i0 + jj, i_hi), nq_blocks - 1), jkv)
+
+    def kv_self_index(b, jkv, jj):
+        return (b, jkv, 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_banded_dkv_kernel, nspan=nspan_q, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nkv_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nkv_pad, d), jnp.float32),
+        ),
+        grid=(bh // hp, nkv_blocks, nspan_q),
+        in_specs=[
+            pl.BlockSpec((hp, q_block, d), q_inv_index),
+            pl.BlockSpec((hp, kv_block, d), kv_self_index),
+            pl.BlockSpec((hp, kv_block, d), kv_self_index),
+            pl.BlockSpec((1, q_block, kv_block), bias_inv_index),
+            pl.BlockSpec((hp, q_block, d), q_inv_index),
+            pl.BlockSpec((hp, 1, q_block), q_stats_inv_index),
+            pl.BlockSpec((hp, 1, q_block), q_stats_inv_index),
+        ],
+        out_specs=(
+            pl.BlockSpec((hp, kv_block, d), kv_self_index),
+            pl.BlockSpec((hp, kv_block, d), kv_self_index),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, kv_block, d), jnp.float32),
+            pltpu.VMEM((hp, kv_block, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, dop, lsep, deltap)
+
+    return (
+        dq[:, :n],
+        dk[:, :n].astype(k.dtype),
+        dv[:, :n].astype(v.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, bias, interpret, band=None):
     if band is not None and bias is not None:
@@ -741,21 +1028,40 @@ def _flash_fwd(q, k, v, bias, interpret, band=None):
     bias_value = None if bias is None else bias.value
     bias_perturbed = False if bias is None else bias.perturbed
     if band is not None and bias_value is not None:
-        out = _banded_fwd_impl(q.value, k.value, v.value, bias_value, band,
-                               interpret)
-    else:
-        out = _flash_fwd_impl(q.value, k.value, v.value, bias_value, interpret)
-    return out, (q.value, k.value, v.value, bias_value, bias_perturbed)
+        # keep out + lse as residuals: the banded backward recomputes band
+        # probabilities from lse and gets delta = rowsum(do*o) from out —
+        # both O(N), far cheaper than a second stats pass
+        out, lse = _banded_fwd_impl(q.value, k.value, v.value, bias_value,
+                                    band, interpret, with_lse=True)
+        return out, (q.value, k.value, v.value, bias_value, bias_perturbed,
+                     out, lse)
+    out = _flash_fwd_impl(q.value, k.value, v.value, bias_value, interpret)
+    return out, (q.value, k.value, v.value, bias_value, bias_perturbed,
+                 None, None)
 
 
 def _flash_bwd(interpret, band, residuals, g):
-    q, k, v, bias, bias_perturbed = residuals
+    q, k, v, bias, bias_perturbed, out, lse = residuals
     if not bias_perturbed:
-        # Blockwise Pallas backward: recompute per q-tile (bias included),
-        # accumulate dk/dv over the sequential grid. Keeps the [BH, N, N]
-        # logits out of HBM (at ViT-B 392^2 bs16 the einsum backward's two
-        # fp32 logits buffers alone are >1 GB and OOM'd the chip).
-        dq, dk, dv = _flash_bwd_impl(q, k, v, g, interpret, bias=bias)
+        if band is not None and bias is not None and lse is not None:
+            # Banded backward: dq over the sliding band, dk/dv over the
+            # inverse band — O(N * band) FLOPs and DMAs, matching the
+            # forward (the dense blockwise backward below is O(N^2) even
+            # under the window mask).
+            # row layout [BH, 1, N] to match the lse blocks
+            delta = jnp.sum(
+                g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+            )[:, None, :]
+            dq, dk, dv = _banded_bwd_impl(
+                q, k, v, bias, g, lse, delta, band, interpret
+            )
+        else:
+            # Blockwise Pallas backward: recompute per q-tile (bias
+            # included), accumulate dk/dv over the sequential grid. Keeps
+            # the [BH, N, N] logits out of HBM (at ViT-B 392^2 bs16 the
+            # einsum backward's two fp32 logits buffers alone are >1 GB and
+            # OOM'd the chip).
+            dq, dk, dv = _flash_bwd_impl(q, k, v, g, interpret, bias=bias)
         dbias = None
         if bias is not None:
             from jax.custom_derivatives import SymbolicZero

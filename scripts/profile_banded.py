@@ -95,6 +95,56 @@ def main():
                 flush=True,
             )
 
+        # ---- backward: fwd+bwd of sum(attn^2), banded vs dense-mask ----
+        # chained like the forward so the ~25 ms axon tunnel RTT amortizes
+        def timed_grad(fn, reps=3):
+            loss = lambda qq: jnp.sum(  # noqa: E731
+                fn(qq, k, v).astype(jnp.float32) ** 2
+            )
+
+            @jax.jit
+            def chain(qq):
+                def body(c, _):
+                    gq = jax.grad(loss)(c)
+                    return (c + gq * 1e-12).astype(c.dtype), ()
+
+                c, _ = jax.lax.scan(body, qq, None, length=ITERS)
+                return jnp.sum(c.astype(jnp.float32).ravel()[:1])
+
+            float(chain(q))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chain(q))
+                ts.append(max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS)
+            return float(np.median(ts))
+
+        fa._BANDED_MIN_SEQ = 0
+        try:
+            tg_band = timed_grad(
+                lambda qq, kk, vv: mha_flash(qq, kk, vv, bias,
+                                             band=(g, window))
+            )
+        finally:
+            fa._BANDED_MIN_SEQ = orig
+        try:
+            tg_dense = timed_grad(
+                lambda qq, kk, vv: mha_flash(qq, kk, vv, bias)
+            )
+            print(
+                f"  fwd+bwd: dense {tg_dense * 1e3:8.2f} ms  banded "
+                f"{tg_band * 1e3:8.2f} ms  ({tg_dense / tg_band:4.1f}x)",
+                flush=True,
+            )
+        except Exception as e:
+            # at the 74x74 grid the dense-mask backward cannot compile at
+            # all: its full-row bias tile needs 27 MB of scoped VMEM
+            print(
+                f"  fwd+bwd: dense FAIL ({type(e).__name__})  banded "
+                f"{tg_band * 1e3:8.2f} ms",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()

@@ -175,12 +175,14 @@ def test_banded_window_matches_dense(gh, gw, window, qmult):
     )
 
 
-def test_banded_window_gradients_match():
+@pytest.mark.parametrize("gh,gw,window", [(9, 9, 3), (14, 14, 7)])
+def test_banded_window_gradients_match(gh, gw, window):
+    """The banded backward (dq over the sliding band, dk/dv over the
+    inverse band) must match einsum gradients under the same window mask."""
     from distill_any_depth_tpu.ops import flash_attention as fa
     from distill_any_depth_tpu.ops.window import local_window_bias
 
-    gh = gw = 9
-    window, n = 3, 81
+    n = gh * gw
     b, h, d = 1, 2, 16
     rng = np.random.RandomState(1)
     q = jnp.asarray(rng.randn(b, n, h, d), jnp.float32)
