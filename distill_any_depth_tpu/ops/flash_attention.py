@@ -688,17 +688,22 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         s = jnp.where(col < n_real, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)  # fp32 [Bq, Nk]
 
-    dof = do.astype(jnp.float32)
     dp = jax.lax.dot_general(
-        dof, v.astype(jnp.float32),
+        do, v,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [Bq, Nk]
+    )  # [Bq, Nk] fp32 accumulate from input-dtype operands
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
     ds = p * (dp - delta) * scale  # [Bq, Nk] fp32
+    # quantize the score-sized operands to the input dtype so the dk/dv/dq
+    # dots run at full bf16 MXU rate (fp32 operands run at 1/8); fp32
+    # accumulation via preferred_element_type, identity casts for fp32
+    # inputs (the parity-test path)
+    ds_q = ds.astype(q.dtype)
+    p_q = p.astype(q.dtype)
 
     dq_ref[0] = jax.lax.dot_general(
-        ds.astype(q.dtype), k,
+        ds_q, k,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)
@@ -709,12 +714,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     dk_ref[0] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32),
+        ds_q, q,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Nk, D] fp32
     dv_ref[0] += jax.lax.dot_general(
-        p, dof,
+        p_q, do,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Nk, D] fp32

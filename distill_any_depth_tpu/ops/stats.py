@@ -30,12 +30,19 @@ Semantics match torch exactly:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["masked_median", "masked_quantile", "median_all", "masked_mean"]
 
 _INF = jnp.inf
+# Rows at/above this length use the Pallas fused-bisection kernel: all 32
+# steps run on a VMEM-resident row, one HBM pass instead of 33 (each jnp
+# bisection step re-reads the full array from HBM; at the HDN loss's
+# [112, 153k] shapes those reads were ~25 ms of the train step).
+_PALLAS_MIN_COLS = 32 * 1024
 
 
 def _order_bits(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
@@ -56,7 +63,19 @@ def _kth_valid_index(
 ) -> jnp.ndarray:
     """Index (first occurrence) of the k-th smallest valid element of the
     order-bit array ``u`` along the last axis; 32-step bisection over the
-    uint32 value range, O(32 N) masked count-compares, no sort."""
+    uint32 value range, O(32 N) masked count-compares, no sort.
+
+    Long rows dispatch to the Pallas fused kernel (one HBM pass); the mask
+    is already folded into ``u`` by _order_bits, so the kernel needs no
+    mask operand (divergence only for a VALID element whose order bits are
+    exactly 0xFFFFFFFF — a full-payload NaN, which masks exclude)."""
+    if u.shape[-1] >= _PALLAS_MIN_COLS:
+        lead = u.shape[:-1]
+        idx = _kth_valid_index_fused(
+            u.reshape(-1, u.shape[-1]),
+            jnp.broadcast_to(k, lead).reshape(-1),
+        )
+        return idx.reshape(lead)
     k1 = (k + 1).astype(jnp.int32)[..., None]
 
     def body(_, lohi):
@@ -76,6 +95,68 @@ def _kth_valid_index(
     hi = jnp.full(u.shape[:-1], 0xFFFFFFFF, jnp.uint32)
     lo, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
     return jnp.argmax(u == lo[..., None], axis=-1).astype(jnp.int32)
+
+
+def _select_kernel(u_ref, k_ref, o_ref, *, n_real: int):
+    """One row per program: the whole 32-step bisection over the
+    VMEM-resident order bits, then the first-occurrence position of the
+    selected value — a single HBM read of the row, vs. 33 for the jnp
+    path. Invalid/padded entries arrive as 0xFFFFFFFF (folded by
+    _order_bits), so no mask operand is needed."""
+    u = u_ref[0]  # [S, 128]
+    k1 = k_ref[0, 0, 0] + 1  # count of elements <= target
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((u <= mid).astype(jnp.int32))
+        take = cnt >= k1
+        return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
+
+    lo, _ = jax.lax.fori_loop(
+        0, 32,
+        body,
+        (jnp.uint32(0), jnp.uint32(0xFFFFFFFF)),
+    )
+    s, l = u.shape
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (s, l), 0) * l
+        + jax.lax.broadcasted_iota(jnp.int32, (s, l), 1)
+    )
+    # first occurrence == min flat position among matches (argmax parity)
+    idx = jnp.min(jnp.where(u == lo, flat, n_real))
+    o_ref[0] = jnp.full((8, 128), idx, jnp.int32)
+
+
+def _kth_valid_index_fused(u2: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Pallas row-resident selection: ``u2`` [R, N] order bits (invalid
+    already folded to max), ``k`` [R] int32. Returns [R] int32 indices."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    r, n = u2.shape
+    n_pad = (n + 127) // 128 * 128
+    if n_pad != n:
+        u2 = jnp.pad(u2, ((0, 0), (0, n_pad - n)),
+                     constant_values=jnp.uint32(0xFFFFFFFF))
+    s = n_pad // 128
+    u3 = u2.reshape(r, s, 128)
+    kb = jnp.broadcast_to(
+        k.astype(jnp.int32)[:, None, None], (r, 8, 128)
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_select_kernel, n_real=n),
+        out_shape=jax.ShapeDtypeStruct((r, 8, 128), jnp.int32),
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, s, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(u3, kb)
+    return out[:, 0, 0]
 
 
 def _gather_at(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -52,7 +52,8 @@ def _top_ops(trace_dir: str, iters: int, top: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="forward", choices=["forward", "loss"])
+    ap.add_argument("--what", default="forward",
+                    choices=["forward", "loss", "train"])
     ap.add_argument("--arch", default="depthanything-base")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=392)
@@ -75,6 +76,34 @@ def main() -> None:
         )
         fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx)[0])
         run = lambda: fn(params, x)  # noqa: E731
+    elif args.what == "train":
+        # the bench.py distillation step: ViT-L bf16 teacher -> ViT-B
+        # student, bs16 default, shared-view, full loss stack
+        from distill_any_depth_tpu.configs import LossConfig, OptimizerConfig
+        from distill_any_depth_tpu.models.factory import create_model, init_params
+        from distill_any_depth_tpu.train.state import create_train_state
+        from distill_any_depth_tpu.train.step import make_train_step
+
+        student = create_model("depthanything-base", dtype=jnp.bfloat16)
+        teacher = create_model("depthanything-large", dtype=jnp.bfloat16)
+        sp = init_params(student, 0, image_size=args.size)
+        tp = init_params(teacher, 1, image_size=args.size)
+        state, tx = create_train_state(
+            sp, OptimizerConfig(lr=5e-6, warmup_steps=0, schedule="none",
+                                total_steps=10_000)
+        )
+        step = make_train_step(
+            lambda p, xx: student.apply({"params": p}, xx.astype(jnp.bfloat16)),
+            [lambda p, xx: teacher.apply({"params": p}, xx.astype(jnp.bfloat16))],
+            tx, LossConfig(), seed=0, views_shared=True,
+        )
+        holder = {"state": state}
+        xs = jnp.asarray(rng.rand(args.batch, args.size, args.size, 3),
+                         jnp.float32)
+
+        def run():
+            holder["state"], metrics = step(holder["state"], (tp,), xs, xs)
+            return metrics["total"]
     else:
         from distill_any_depth_tpu.configs import LossConfig
         from distill_any_depth_tpu.losses.distill import combined_distillation_loss

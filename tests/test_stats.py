@@ -84,3 +84,26 @@ def test_median_bf16_input():
     ref = np.sort(np.asarray(x, np.float32), axis=-1)[:, 49]
     got = np.asarray(masked_median(x, m), np.float32)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_select_matches_jnp_path():
+    """Long rows dispatch to the Pallas fused-bisection kernel (one HBM
+    pass); it must pick the identical element as the 33-pass jnp path."""
+    from distill_any_depth_tpu.ops import stats
+
+    rng = np.random.RandomState(0)
+    n = stats._PALLAS_MIN_COLS + 137  # odd, non-128-multiple tail
+    x = jnp.asarray(rng.randn(3, n).astype(np.float32))
+    mask = jnp.asarray(rng.rand(3, n) > 0.3)
+
+    med_fused = stats.masked_median(x, mask)
+    q_fused = stats.masked_quantile(x, mask, 0.37)
+    orig = stats._PALLAS_MIN_COLS
+    stats._PALLAS_MIN_COLS = 1 << 60  # force the jnp path
+    try:
+        med_jnp = stats.masked_median(x, mask)
+        q_jnp = stats.masked_quantile(x, mask, 0.37)
+    finally:
+        stats._PALLAS_MIN_COLS = orig
+    np.testing.assert_array_equal(np.asarray(med_fused), np.asarray(med_jnp))
+    np.testing.assert_array_equal(np.asarray(q_fused), np.asarray(q_jnp))
