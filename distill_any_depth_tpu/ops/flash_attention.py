@@ -663,75 +663,137 @@ def _reference_attention(q, k, v, bias):
     return jnp.einsum("bnm,bmd->bnd", probs, v)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                n_real: int, scale: float, bias_ref=None):
-    """Blockwise attention backward: recomputes this q-tile's probabilities
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *,
+                hp: int, nq: int, n_real: int, scale: float, bias_ref=None):
+    """Blockwise attention backward: recomputes each q-tile's probabilities
     and accumulates dk/dv across the (sequential) q-grid dimension — no
-    [N, N] logits ever reach HBM. The optional bias block (window log-mask /
-    packed-segment mask) enters the recomputed logits exactly as in the
-    forward; it is treated as a constant (no dbias accumulation here —
-    trainable biases take the einsum fallback, see _flash_bwd)."""
+    [N, N] logits ever reach HBM. ``hp`` heads run per program (the k/v
+    blocks and dk/dv output blocks stay VMEM-resident across the q grid;
+    packing heads cut the program count 8x and the per-block backward
+    1.7 -> ~0.5 ms at ViT-B bs16 — the kernel was program-overhead-bound).
+    The optional bias block (window log-mask / packed-segment mask) enters
+    the recomputed logits exactly as in the forward; it is treated as a
+    constant (no dbias accumulation here — trainable biases take the
+    einsum fallback, see _flash_bwd)."""
     i = pl.program_id(1)
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    if bias_ref is not None:
-        s = s + bias_ref[0].astype(jnp.float32)
-    if s.shape[-1] > n_real:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_real, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1)  # fp32 [Bq, Nk]
-
-    dp = jax.lax.dot_general(
-        do, v,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Bq, Nk] fp32 accumulate from input-dtype operands
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale  # [Bq, Nk] fp32
-    # quantize the score-sized operands to the input dtype so the dk/dv/dq
-    # dots run at full bf16 MXU rate (fp32 operands run at 1/8); fp32
-    # accumulation via preferred_element_type, identity casts for fp32
-    # inputs (the parity-test path)
-    ds_q = ds.astype(q.dtype)
-    p_q = p.astype(q.dtype)
-
-    dq_ref[0] = jax.lax.dot_general(
-        ds_q, k,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(q.dtype)
 
     @pl.when(i == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    dk_ref[0] += jax.lax.dot_general(
-        ds_q, q,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Nk, D] fp32
-    dv_ref[0] += jax.lax.dot_general(
-        p_q, do,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Nk, D] fp32
+    for h in range(hp):  # static unroll over the packed heads
+        q = q_ref[h]
+        k = k_ref[h]
+        v = v_ref[h]
+        do = do_ref[h]
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        if s.shape[-1] > n_real:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_real, s, -jnp.inf)
+        # Deferred-divide softmax, like the forward: the unnormalized
+        # exp quantizes to the input dtype immediately (one fp32
+        # score-sized buffer live instead of a full fp32 softmax), and the
+        # 1/l normalization folds into per-ROW scales applied on the tiny
+        # [Bq, D] side of each matmul:
+        #   p = e/l;  ds = p (dp - delta) scale = t * (scale/l),
+        #   dq = (t k) * (scale/l)    [row scale after]
+        #   dk = t^T (q * scale/l)    [row scale into q]
+        #   dv = e^T (do / l)         [row scale into do]
+        # with t = e (dp - delta), delta = rowsum(e dp)/l.
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m).astype(q.dtype)  # [Bq, Nk] input dtype
+        l = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        inv_l = 1.0 / l
+
+        dp = jax.lax.dot_general(
+            do, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Bq, Nk] fp32 accumulate from input-dtype operands
+        edp = e.astype(jnp.float32) * dp
+        delta = jnp.sum(edp, axis=-1, keepdims=True) * inv_l
+        t = (edp - e.astype(jnp.float32) * delta).astype(q.dtype)
+
+        rs = (scale * inv_l).astype(jnp.float32)  # [Bq, 1]
+        dq_ref[h] = (
+            jax.lax.dot_general(
+                t, k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * rs
+        ).astype(q.dtype)
+
+        # fp32 accumulation in VMEM scratch; the HBM outputs are written
+        # ONCE at the last q tile in the INPUT dtype — writing fp32
+        # outputs per b (88 MB/block at ViT-B bs16) plus the downstream
+        # cast pass made the backward HBM-bound
+        dk_acc[h] += jax.lax.dot_general(
+            t, (q.astype(jnp.float32) * rs).astype(q.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Nk, D] fp32
+        dv_acc[h] += jax.lax.dot_general(
+            e, (do.astype(jnp.float32) * inv_l).astype(q.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Nk, D] fp32
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _flash_bwd_impl(q, k, v, dout, interpret: bool, bias=None):
     bh, n, d = q.shape
     scale = d ** -0.5
     n_pad = _round_up(n, _LANE)
-    # split-to-fit: round_up(785, 256) = 1024 would run 30% padded q rows
-    num_tiles = -(-n // min(256, n_pad))
-    q_block = _round_up(-(-n // num_tiles), 8)
+    itemsize = q.dtype.itemsize
+
+    # Choose (heads_per_program, q_block) minimizing the PROGRAM COUNT
+    # under VMEM: the kernel is program-overhead-bound (768 1-head programs
+    # measured ~1.7 ms/block vs ~100 us of FLOPs at ViT-B bs16). k/v and
+    # the fp32 dk/dv output blocks stay resident per (b) across the
+    # sequential q grid; the score-sized kernel-stack temporaries scale
+    # with hp*q_block, so fewer resident heads buy bigger q tiles — the
+    # search just takes the best trade. Per-element stack cost calibrated
+    # from a measured Mosaic VMEM OOM (~40 B/elem before the deferred-
+    # divide rewrite; ~24 after, margin included).
+    score_bytes = 24
+    bias_row = 2 * n_pad * 4 if bias is not None else 0
+    best = None
+    for cand in (8, 4, 2, 1):
+        if bh % cand:
+            continue
+        resident = (
+            2 * cand * n_pad * d * itemsize      # k + v
+            + 2 * cand * n_pad * d * 4           # fp32 dk/dv scratch
+            + 2 * cand * n_pad * d * itemsize    # dk/dv out blocks
+        )
+
+        def fits(qb, cand=cand, resident=resident):
+            streamed = 4 * cand * qb * d * itemsize * 2 + qb * bias_row
+            stack = cand * qb * n_pad * score_bytes
+            return resident + streamed + stack <= _VMEM_BUDGET_BYTES
+        qb = n_pad
+        while qb > 8 and not fits(qb):
+            qb = (qb // 2 + 7) // 8 * 8
+        if not fits(qb):
+            continue
+        programs = (bh // cand) * (-(-n // qb))
+        if best is None or programs < best[0]:
+            best = (programs, cand, qb)
+    _, hp, q_block = best if best else (bh, 1, min(128, n_pad))
+    num_tiles = -(-n // q_block)
+    q_block = _round_up(-(-n // num_tiles), 8)  # split-to-fit, less padding
     nq_pad = _round_up(n, q_block)
 
     def pad(x, target_n):
@@ -742,10 +804,10 @@ def _flash_bwd_impl(q, k, v, dout, interpret: bool, bias=None):
     qp, kp, vp, dop = pad(q, nq_pad), pad(k, n_pad), pad(v, n_pad), pad(dout, nq_pad)
 
     in_specs = [
-        pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
-        pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
-        pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((hp, q_block, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((hp, n_pad, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((hp, n_pad, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((hp, q_block, d), lambda b, i: (b, i, 0)),
     ]
     args = [qp, kp, vp, dop]
     if bias is not None:
@@ -754,37 +816,46 @@ def _flash_bwd_impl(q, k, v, dout, interpret: bool, bias=None):
         bias_p = jnp.pad(bias, ((0, 0), (0, nq_pad - n), (0, n_pad - n)))
         in_specs.append(pl.BlockSpec((1, q_block, n_pad), lambda b, i: (0, i, 0)))
         args.append(bias_p)
-        kernel = functools.partial(_bwd_bias_kernel_adapter, n_real=n, scale=scale)
+        kernel = functools.partial(
+            _bwd_bias_kernel_adapter, hp=hp, nq=nq_pad // q_block,
+            n_real=n, scale=scale,
+        )
     else:
-        kernel = functools.partial(_bwd_kernel, n_real=n, scale=scale)
+        kernel = functools.partial(
+            _bwd_kernel, hp=hp, nq=nq_pad // q_block, n_real=n, scale=scale
+        )
+
+    from jax.experimental.pallas import tpu as _pltpu
 
     dq, dk, dv = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
         ),
-        grid=(bh, nq_pad // q_block),
+        grid=(bh // hp, nq_pad // q_block),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, q_block, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((hp, q_block, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((hp, n_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((hp, n_pad, d), lambda b, i: (b, 0, 0)),
         ),
+        scratch_shapes=[
+            _pltpu.VMEM((hp, n_pad, d), jnp.float32),
+            _pltpu.VMEM((hp, n_pad, d), jnp.float32),
+        ],
         interpret=interpret,
     )(*args)
-    return (
-        dq[:, :n],
-        dk[:, :n].astype(k.dtype),
-        dv[:, :n].astype(v.dtype),
-    )
+    return dq[:, :n], dk[:, :n], dv[:, :n]
 
 
 def _bwd_bias_kernel_adapter(q_ref, k_ref, v_ref, do_ref, bias_ref,
-                             dq_ref, dk_ref, dv_ref, *, n_real, scale):
+                             dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                             hp, nq, n_real, scale):
     _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                n_real=n_real, scale=scale, bias_ref=bias_ref)
+                dk_acc, dv_acc, hp=hp, nq=nq, n_real=n_real, scale=scale,
+                bias_ref=bias_ref)
 
 
 def _banded_tile_grads(h, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,

@@ -135,7 +135,15 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(components)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        from distill_any_depth_tpu.train.state import GuardedClipState
+
+        # the clip/guard transform already computed the unclipped norm —
+        # reuse it instead of re-reducing every gradient leaf
+        metrics["grad_norm"] = (
+            opt_state.last_norm
+            if isinstance(opt_state, GuardedClipState)
+            else optax.global_norm(grads)
+        )
         metrics["teacher_idx"] = teacher_idx
         return TrainState(state.step + 1, params, opt_state), metrics
 
