@@ -604,6 +604,168 @@ def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
     return out[:, :n]
 
 
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                       dk_acc, dv_acc, *, hd: int, d: int, nq: int,
+                       n_real: int, scale: float):
+    """Backward twin of ``_packed_kernel``: one 128-lane head-group column
+    of the packed qkv layout per program, per-head 64-lane sub-slices for
+    the dots. The unpacked backward's operands all lived in 64-lane
+    (half-empty) tiles — its five matmuls measured ~30 TF/s vs ~60 for the
+    packed forward at the same ViT-B bs16 shape; reading the same
+    128-lane column groups as the forward recovers that rate and deletes
+    the [B,N,H,D] <-> [BH,N,D] relayouts + pads around the old path.
+    dk/dv accumulate in fp32 VMEM scratch across the (innermost,
+    sequential) q-tile grid dimension and hit HBM once, at the last tile,
+    in the input dtype."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q2 = q_ref[0]   # [qb, hd*d]
+    k2 = k_ref[0]   # [nk, hd*d]
+    v2 = v_ref[0]
+    do2 = do_ref[0]
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for hh in range(hd):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q2[:, sl]
+        k = k2[:, sl]
+        v = v2[:, sl]
+        do = do2[:, sl]
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [qb, nk] fp32
+        if s.shape[-1] > n_real:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_real, s, -jnp.inf)
+        # deferred-divide softmax: unnormalized exp quantizes to the input
+        # dtype immediately; 1/l folds into per-ROW scales on the [*, D]
+        # side of each matmul (see _bwd_kernel for the algebra)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m).astype(q.dtype)  # [qb, nk]
+        l = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        inv_l = 1.0 / l
+
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qb, nk] fp32
+        edp = e.astype(jnp.float32) * dp
+        delta = jnp.sum(edp, axis=-1, keepdims=True) * inv_l
+        t = (edp - e.astype(jnp.float32) * delta).astype(q.dtype)
+
+        rs = (scale * inv_l).astype(jnp.float32)  # [qb, 1]
+        dq_parts.append((
+            jax.lax.dot_general(
+                t, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * rs
+        ).astype(q.dtype))
+        dk_parts.append(jax.lax.dot_general(
+            t, (q.astype(jnp.float32) * rs).astype(q.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))  # [nk, d] fp32
+        dv_parts.append(jax.lax.dot_general(
+            e, (do.astype(jnp.float32) * inv_l).astype(q.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
+    dq_ref[0] = cat(dq_parts)
+    # one aligned full-width accumulate per tile (not hd 64-lane stores)
+    dk_acc[...] += cat(dk_parts)
+    dv_acc[...] += cat(dv_parts)
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _packed_bwd_impl(qkv, g, num_heads: int, interpret: bool):
+    """dqkv for ``_packed_fwd_impl``, straight on the packed layouts.
+
+    ``qkv``: [B, N, 3C] (fwd residual), ``g``: [B, N, C] output cotangent.
+    Returns [B, N, 3C]: dq/dk/dv column blocks written by the kernel in
+    the same packing and concatenated once (the only relayout left; XLA
+    fuses it into the QKV-GEMM backward's reads)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    scale = d ** -0.5
+    base = max(_LANE // d, 1) * d
+    lanes = _packed_lanes(b, c, base) or base
+    hd = lanes // d
+    groups = c // lanes
+    itemsize = qkv.dtype.itemsize
+    g = g.astype(qkv.dtype)
+
+    n8 = _round_up(n, 8)
+    # resident per program: k+v blocks (double-buffered across g), dk/dv
+    # out blocks, fp32 dk/dv scratch
+    fixed = (
+        2 * n8 * lanes * itemsize * 2
+        + 2 * n8 * lanes * itemsize
+        + 2 * n8 * lanes * 4
+    )
+    # streamed q/do/dq rows + Mosaic stack for the score-sized
+    # temporaries (s, e, dp, edp, t per head ~= 16 B/elem + margin)
+    per_q_row = 3 * lanes * itemsize * 2 + hd * n8 * 20
+    q_max = max(
+        min(int((_VMEM_BUDGET_BYTES - fixed) / per_q_row), 1024, n8)
+        // 8 * 8,
+        8,
+    )
+    num_tiles = -(-n // q_max)
+    q_block = _round_up(-(-n // num_tiles), 8)
+    nq_pad = _round_up(n, q_block)
+    np_all = max(nq_pad, n8)
+    if np_all != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, np_all - n), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, np_all - n), (0, 0)))
+    kernel = functools.partial(
+        _packed_bwd_kernel, hd=hd, d=d, nq=nq_pad // q_block,
+        n_real=n, scale=scale,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, np_all, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, np_all, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, np_all, c), qkv.dtype),
+        ),
+        grid=(b, groups, nq_pad // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, lanes), lambda bi, gr, i: (bi, i, gr)),
+            pl.BlockSpec((1, np_all, lanes),
+                         lambda bi, gr, i, _g=groups: (bi, 0, _g + gr)),
+            pl.BlockSpec((1, np_all, lanes),
+                         lambda bi, gr, i, _g=groups: (bi, 0, 2 * _g + gr)),
+            pl.BlockSpec((1, q_block, lanes), lambda bi, gr, i: (bi, i, gr)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_block, lanes), lambda bi, gr, i: (bi, i, gr)),
+            pl.BlockSpec((1, np_all, lanes), lambda bi, gr, i: (bi, 0, gr)),
+            pl.BlockSpec((1, np_all, lanes), lambda bi, gr, i: (bi, 0, gr)),
+        ),
+        scratch_shapes=[
+            _VMEM((np_all, lanes), jnp.float32),
+            _VMEM((np_all, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv, qkv, qkv, g)
+    return jnp.concatenate([dq[:, :n], dk[:, :n], dv[:, :n]], axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _flash_packed(qkv, num_heads, interpret):
     return _packed_fwd_impl(qkv, num_heads, interpret)
@@ -614,8 +776,15 @@ def _flash_packed_fwd(qkv, num_heads, interpret):
 
 
 def _flash_packed_bwd(num_heads, interpret, residuals, g):
-    # Training pays the [B,N,H,D] <-> [BH,N,D] relayouts here, where they
-    # are a small fraction of the backward; the forward stays copy-free.
+    (qkv,) = residuals
+    return (_packed_bwd_impl(qkv, g, num_heads, interpret)
+            .astype(qkv.dtype),)
+
+
+def _flash_packed_bwd_unpacked(num_heads, interpret, residuals, g):
+    # pre-round-3 fallback, kept for A/B profiling
+    # (scripts/profile_bwd_sweep.py): unpack to [BH,N,D], run the dense
+    # backward, repack — pays 8 relayout/pad passes per call.
     (qkv,) = residuals
     b, n, c3 = qkv.shape
     c = c3 // 3
