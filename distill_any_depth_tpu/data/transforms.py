@@ -20,7 +20,7 @@ except ImportError:  # pragma: no cover - cv2 is present in CI; keep importable
     cv2 = None
 
 __all__ = ["Resize", "NormalizeImage", "PrepareForNet", "Compose",
-           "IMAGENET_MEAN", "IMAGENET_STD"]
+           "apply_min_size", "IMAGENET_MEAN", "IMAGENET_STD"]
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -34,6 +34,42 @@ class Compose:
         for t in self.transforms:
             sample = t(sample)
         return sample
+
+
+def apply_min_size(sample: dict, size: tuple[int, int],
+                   image_interpolation_method=None):
+    """Upscale ``sample`` in place so ``disparity`` is at least ``size``
+    (rows, cols), keeping aspect ratio; no-op when already large enough.
+
+    Completes the midas-transform superset (the only live piece of
+    distillanydepth/midas/transforms.py:6-45 not otherwise carried by this
+    kit). The reference's return contract is odd and preserved verbatim:
+    the *sample dict* when no resize happens, else the new ``(rows, cols)``
+    tuple — callers there mutate the dict and ignore the return.
+    """
+    shape = list(sample["disparity"].shape)
+    if shape[0] >= size[0] and shape[1] >= size[1]:
+        return sample
+
+    if image_interpolation_method is None and cv2 is not None:
+        image_interpolation_method = cv2.INTER_AREA
+    scale = max(size[0] / shape[0], size[1] / shape[1])
+    shape[0] = int(np.ceil(scale * shape[0]))
+    shape[1] = int(np.ceil(scale * shape[1]))
+
+    sample["image"] = cv2.resize(
+        sample["image"], tuple(shape[::-1]),
+        interpolation=image_interpolation_method,
+    )
+    sample["disparity"] = cv2.resize(
+        sample["disparity"], tuple(shape[::-1]), interpolation=cv2.INTER_NEAREST
+    )
+    sample["mask"] = cv2.resize(
+        sample["mask"].astype(np.float32),
+        tuple(shape[::-1]),
+        interpolation=cv2.INTER_NEAREST,
+    ).astype(bool)
+    return tuple(shape)
 
 
 class Resize:

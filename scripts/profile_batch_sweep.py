@@ -8,9 +8,13 @@ subtracted).
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SIZE = 392
 ITERS = 10
@@ -20,17 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import _rtt as measure_rtt  # same sync methodology as bench.py
     from distill_any_depth_tpu.models.factory import create_model, init_params
 
-    def rtt() -> float:
-        s = jnp.float32(1.0)
-        float(s + 1)
-        t0 = time.perf_counter()
-        for _ in range(5):
-            float(s + 1)
-        return (time.perf_counter() - t0) / 5
-
-    _rtt = rtt()
+    _rtt = measure_rtt()
 
     model = create_model("depthanything-base", dtype=jnp.bfloat16)
     params = init_params(model, 0, image_size=SIZE)

@@ -7,9 +7,13 @@ while halving the tail's live working set. Measure both (scan-chained).
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ITERS = 3
 SIZE = 392
@@ -19,17 +23,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import _rtt as measure_rtt  # same sync methodology as bench.py
     from distill_any_depth_tpu.models.factory import create_model, init_params
 
-    def rtt() -> float:
-        s = jnp.float32(1.0)
-        float(s + 1)
-        t0 = time.perf_counter()
-        for _ in range(5):
-            float(s + 1)
-        return (time.perf_counter() - t0) / 5
-
-    _rtt = rtt()
+    _rtt = measure_rtt()
 
     teacher = create_model("depthanything-large", dtype=jnp.bfloat16)
     tp = init_params(teacher, 1, image_size=SIZE)
@@ -45,7 +42,9 @@ def main():
             c, _ = jax.lax.scan(body, x0, None, length=ITERS)
             return jnp.sum(c.astype(jnp.float32).ravel()[:1])
 
+        t0 = time.perf_counter()
         float(chain(tp, x0))
+        print(f"  (compiled in {time.perf_counter() - t0:.0f}s)", flush=True)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -55,6 +54,10 @@ def main():
 
     x16 = jnp.asarray(rng.rand(16, SIZE, SIZE, 3), jnp.float32)
 
+    # Both variants drop the teacher's feature output (second tuple element)
+    # that the real distill step also consumes. That is fine for timing: the
+    # feature tap is a post-norm read of an encoder layer already computed
+    # for the head, so discarding it does not let XLA skip any work.
     def plain(pr, c):
         d, f = teacher.apply({"params": pr}, c.astype(jnp.bfloat16))
         return d

@@ -15,5 +15,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the quick tier is compile-dominated (~9 min
+# cold); cached recompiles bring warm runs under the pytest.ini budget. The
+# cache key includes compiler version + flags, so it is safe across upgrades.
+_cache_dir = os.environ.get(
+    "DAD_TEST_COMPILE_CACHE", os.path.expanduser("~/.cache/dad_xla_test_cache")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # repo root importable
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -60,6 +60,37 @@ def test_resize_image_parity():
     np.testing.assert_allclose(mine, ref, atol=1e-6)
 
 
+@pytest.mark.skipif(not reference_available(), reason="reference tree not mounted")
+def test_apply_min_size_parity():
+    sys.path.insert(0, REFERENCE_ROOT)
+    from distillanydepth.midas.transforms import apply_min_size as ref_fn
+
+    from distill_any_depth_tpu.data.transforms import apply_min_size
+
+    rng = np.random.RandomState(0)
+
+    def sample(h, w):
+        return {
+            "image": rng.rand(h, w, 3).astype(np.float32),
+            "disparity": rng.rand(h, w).astype(np.float32),
+            "mask": (rng.rand(h, w) > 0.5),
+        }
+
+    for h, w, size in [(100, 200, (384, 384)), (480, 640, (384, 384)),
+                       (384, 100, (384, 384)), (50, 50, (128, 256))]:
+        a, b = sample(h, w), None
+        b = {k: v.copy() for k, v in a.items()}
+        ra = apply_min_size(a, size)
+        rb = ref_fn(b, size)
+        if isinstance(rb, dict):  # no-op branch returns the sample itself
+            assert ra is a
+        else:
+            assert tuple(ra) == tuple(rb)
+        for k in ("image", "disparity", "mask"):
+            np.testing.assert_array_equal(a[k], b[k])
+        assert a["mask"].dtype == b["mask"].dtype
+
+
 @pytest.fixture
 def nyu_fixture(tmp_path):
     """Synthetic NYU layout: train pair (uint8 depth) + test pair (uint16)."""
