@@ -15,6 +15,13 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_path", default=None, help="distilled checkpoint")
     p.add_argument("--original_model_path", default=None,
                    help="optional second checkpoint to compare against")
+    p.add_argument("--dataset", default="nyu_csv",
+                   help="'nyu_csv' (the nyu2_test.csv layout, default) or a "
+                        "registered benchmark: nyu/kitti/eth3d/diode/scannet "
+                        "(split-list layouts; data/registry.py — the working "
+                        "version of the reference's dead dataset YAMLs)")
+    p.add_argument("--filenames", default=None,
+                   help="override the registry's split-list path")
     p.add_argument("--data_dir", default="data/nyu")
     p.add_argument("--image_size", type=int, default=392)
     p.add_argument("--batch_size", type=int, default=8)
@@ -44,8 +51,15 @@ def main(args=None) -> dict:
 
     cfg = model_config(args.arch_name)
     model = create_model(cfg, dtype=jnp.dtype(args.dtype))
-    ds = NYUDataset("test", dataset_dir=args.data_dir, image_size=args.image_size,
-                    raw_255=args.raw_255)
+    if args.dataset == "nyu_csv":
+        ds = NYUDataset("test", dataset_dir=args.data_dir,
+                        image_size=args.image_size, raw_255=args.raw_255)
+    else:
+        from distill_any_depth_tpu.data.registry import FileListDataset
+
+        ds = FileListDataset(args.dataset, args.data_dir,
+                             image_size=args.image_size,
+                             filenames=args.filenames)
 
     def load(path):
         if path is None:
