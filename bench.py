@@ -29,6 +29,8 @@ WARMUP = 3
 ITERS = 10
 TRAIN_BATCH = 16
 TRAIN_CHAIN = 5
+PSEUDO_BATCH = 8
+PSEUDO_ITERS = 8
 
 
 def _rtt() -> float:
@@ -45,10 +47,13 @@ def _rtt() -> float:
     return (time.perf_counter() - t0) / 5
 
 
-def bench_train(rtt: float) -> None:
-    """Full distillation step: ViT-L teacher (bf16) -> ViT-B student (bf16
-    compute, fp32 params/optimizer), bs16 392^2, NYU shared-view path,
-    default loss stack (hybrid norm + HDN dr/3)."""
+def bench_train(rtt: float, teacher_quant: str = "none") -> None:
+    """Full distillation step: ViT-L teacher (bf16; lax.map-chunked 2x bs8,
+    the TrainConfig.teacher_chunk default) -> ViT-B student (bf16 compute,
+    fp32 params/optimizer), bs16 392^2, NYU shared-view path, default loss
+    stack (hybrid norm + HDN dr/3). ``teacher_quant="int8"`` additionally
+    runs the teacher forward as dynamic-W8A8 GEMMs (opt-in; the headline
+    stays bf16 — docs/DESIGN.md int8 section)."""
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +63,8 @@ def bench_train(rtt: float) -> None:
     from distill_any_depth_tpu.train.step import make_train_step
 
     student = create_model("depthanything-base", dtype=jnp.bfloat16)
-    teacher = create_model("depthanything-large", dtype=jnp.bfloat16)
+    teacher = create_model("depthanything-large", dtype=jnp.bfloat16,
+                           quant=teacher_quant)
     sp = init_params(student, 0, image_size=SIZE)
     tp = init_params(teacher, 1, image_size=SIZE)
     state, tx = create_train_state(
@@ -68,7 +74,7 @@ def bench_train(rtt: float) -> None:
     step = make_train_step(
         lambda p, x: student.apply({"params": p}, x.astype(jnp.bfloat16)),
         [lambda p, x: teacher.apply({"params": p}, x.astype(jnp.bfloat16))],
-        tx, LossConfig(), seed=0, views_shared=True,
+        tx, LossConfig(), seed=0, views_shared=True, teacher_chunk=8,
     )
 
     @jax.jit
@@ -102,10 +108,11 @@ def bench_train(rtt: float) -> None:
         times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / TRAIN_CHAIN)
     dt = float(np.min(times))
     steps_s = 1.0 / dt
+    suffix = "_int8_teacher" if teacher_quant == "int8" else ""
     print(
         json.dumps(
             {
-                "metric": "vitl_to_vitb_distill_step_bs16_392",
+                "metric": f"vitl_to_vitb_distill_step_bs16_392{suffix}",
                 "value": round(steps_s, 3),
                 "unit": "steps/sec/chip",
                 "vs_baseline": (
@@ -119,14 +126,68 @@ def bench_train(rtt: float) -> None:
     )
 
 
-def main() -> None:
+def bench_pseudo_label(rtt: float) -> None:
+    """ViT-L 518^2 bs8 batched inference — the pseudo-label generation path
+    (cli/pseudo_label.py); regressions here were invisible to BENCH_r1-r3."""
     import jax
     import jax.numpy as jnp
 
     from distill_any_depth_tpu.models.factory import create_model, init_params
 
+    model = create_model("depthanything-large", dtype=jnp.bfloat16)
+    params = init_params(model, 2, image_size=518)
+
+    @jax.jit
+    def chain(p, x):
+        def body(carry, _):
+            depth, _ = model.apply({"params": p}, carry)
+            carry = carry + (depth[..., None] * 1e-12).astype(carry.dtype)
+            return carry, ()
+
+        carry, _ = jax.lax.scan(body, x, None, length=PSEUDO_ITERS)
+        return jnp.sum(carry[0, 0, 0].astype(jnp.float32))
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(PSEUDO_BATCH, 518, 518, 3), jnp.bfloat16)
+    float(chain(params, x))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(params, x))
+        times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / PSEUDO_ITERS)
+    dt = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "vitl_518_pseudo_label_throughput",
+                "value": round(PSEUDO_BATCH / dt, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--teacher_quant", default="none", choices=["none", "int8"],
+                    help="opt-in: ALSO bench the distill step with a "
+                         "dynamic-W8A8 teacher (headline stays bf16)")
+    args = ap.parse_args()
+
     rtt = _rtt()
     bench_train(rtt)
+    if args.teacher_quant != "none":
+        bench_train(rtt, teacher_quant=args.teacher_quant)
+    bench_pseudo_label(rtt)
 
     model = create_model("depthanything-base", dtype=jnp.bfloat16)
     params = init_params(model, 0, image_size=SIZE)

@@ -244,6 +244,12 @@ class TrainConfig:
     # (stop_gradient), so this trades a bounded pseudo-label perturbation
     # for a faster step. Students always train unquantized.
     teacher_quant: str = "none"
+    # run teacher forwards as sequential lax.map chunks of this batch size
+    # (0 = off). bs16's full-res DPT-tail intermediates thrash HBM; 2x bs8
+    # chunks measured 95.8 -> 86.3 ms on the ViT-L 392^2 teacher (v5e,
+    # scripts/profile_teacher_chunk.py). Single-device only — ignored under
+    # a dp mesh, where the per-device batch is already batch/dp.
+    teacher_chunk: int = 8
     # bf16 student matmuls by default: the loss stack upcasts to fp32
     # (train/step.py), params/optimizer stay fp32; ~1.5x faster steps on
     # v5e with trajectory parity validated in tests/test_train_parity.py.

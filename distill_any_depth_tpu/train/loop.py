@@ -145,6 +145,7 @@ class Trainer:
         self.train_step = make_train_step(
             self._student_apply, self._teacher_applies, self.tx, self.cfg.loss,
             seed=self.cfg.seed, mesh=self.mesh, views_shared=views_shared,
+            teacher_chunk=self.cfg.teacher_chunk,
         )
         self.eval_loss = make_eval_loss_fn(
             self._student_apply, self._teacher_applies, self.cfg.loss,

@@ -25,7 +25,34 @@ from distill_any_depth_tpu.configs import LossConfig
 from distill_any_depth_tpu.losses.distill import combined_distillation_loss
 from distill_any_depth_tpu.train.state import TrainState
 
-__all__ = ["make_train_step", "make_eval_loss_fn"]
+__all__ = ["make_train_step", "make_eval_loss_fn", "chunked_apply"]
+
+
+def chunked_apply(apply_fn: Callable, chunk: int | None) -> Callable:
+    """Serialize an inference-only forward over batch chunks via lax.map.
+
+    The DPT tail's full-resolution intermediates thrash HBM at bs16; two
+    sequential bs8 forwards keep the math identical while halving the live
+    working set — measured 95.8 -> 86.3 ms for the ViT-L bs16 392^2 teacher
+    (scripts/profile_teacher_chunk.py, v5e). No-op when the batch is not a
+    multiple of ``chunk`` (or chunking is disabled), so eval/odd batches
+    compile the plain path. Only for stop-gradient forwards: lax.map would
+    serialize the backward too.
+    """
+    if not chunk:
+        return apply_fn
+
+    def run(params, x):
+        b = x.shape[0]
+        if b <= chunk or b % chunk:
+            return apply_fn(params, x)
+        xs = x.reshape(b // chunk, chunk, *x.shape[1:])
+        outs = jax.lax.map(lambda xx: apply_fn(params, xx), xs)
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape(b, *o.shape[2:]), outs
+        )
+
+    return run
 
 
 def _loss_fn(
@@ -94,6 +121,7 @@ def make_train_step(
     seed: int = 0,
     mesh=None,
     views_shared: bool = False,
+    teacher_chunk: int = 0,
 ):
     """Jitted train step.
 
@@ -108,7 +136,15 @@ def make_train_step(
 
     ``views_shared=True`` (the NYU path, where global == local image) skips
     the redundant second student forward — ~40% of student compute.
+
+    ``teacher_chunk`` > 0 runs each (stop-gradient) teacher forward as
+    sequential lax.map chunks of that batch size (see ``chunked_apply``);
+    use on single-device/dp=1 steps — under a dp mesh the per-device batch
+    is already batch/dp and the reshape would cross shard boundaries.
     """
+    if teacher_chunk and mesh is None:
+        teacher_applies = [chunked_apply(t, teacher_chunk)
+                           for t in teacher_applies]
 
     def step(state: TrainState, teacher_params, global_image, local_image,
              loss_weights=None):

@@ -117,6 +117,87 @@ def test_train_step_decreases_loss(tiny_setup):
     assert float(metrics["grad_norm"]) > 0
 
 
+def test_teacher_chunking_matches_plain_step(tiny_setup):
+    """lax.map teacher chunking (TrainConfig.teacher_chunk) is a scheduling
+    change: per-sample outputs match the plain forward up to XLA refusion
+    rounding, and the training step tracks the plain step closely. (Bitwise
+    param equality is NOT the contract — fusion boundaries differ, and Adam
+    amplifies last-ulp teacher differences.)"""
+    from distill_any_depth_tpu.train.step import chunked_apply
+
+    scfg, student, sp, teacher, tp = tiny_setup
+    x = _batch(bs=4)
+
+    apply_fn = lambda p, xx: teacher.apply({"params": p}, xx)  # noqa: E731
+    d_plain, f_plain = jax.jit(apply_fn)(tp, x)
+    d_chunk, f_chunk = jax.jit(chunked_apply(apply_fn, 2))(tp, x)
+    np.testing.assert_allclose(np.asarray(d_chunk), np.asarray(d_plain),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_chunk), np.asarray(f_plain),
+                               rtol=1e-5, atol=1e-5)
+    # non-divisible batch: silently the plain path (same function object)
+    assert chunked_apply(apply_fn, 3)(tp, x)[0].shape == d_plain.shape
+    assert chunked_apply(apply_fn, 0) is apply_fn
+
+    opt = OptimizerConfig(lr=1e-3, warmup_steps=0, schedule="none",
+                          total_steps=100)
+    loss_cfg = LossConfig(normalization="hybrid", use_hdn=True,
+                          hdn_variant="dr")
+
+    def run(teacher_chunk):
+        state, tx = create_train_state(
+            jax.tree_util.tree_map(jnp.array, sp), opt
+        )
+        step = make_train_step(
+            lambda p, xx: student.apply({"params": p}, xx),
+            [apply_fn], tx, loss_cfg, seed=0, views_shared=True,
+            teacher_chunk=teacher_chunk,
+        )
+        out = []
+        for _ in range(2):
+            state, metrics = step(state, (tp,), x, x)
+            out.append(float(metrics["total"]))
+        return out
+
+    np.testing.assert_allclose(run(2), run(0), rtol=1e-4)
+
+
+def test_trainer_with_real_windowed_teacher(tmp_path):
+    """Drive the REAL windowed ViT-B config (MODELS['depthanything-base-
+    window']: PosConv PEG, window bias, final_taps, interp_to_input) as a
+    teacher through the actual Trainer step — the composition the reference
+    runs when dam.py:361-362 instantiates the DinoWindow vitb teacher.
+    126px -> 9x9 patch grid > window 7, so the window mask really masks."""
+    from distill_any_depth_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(
+        student=tiny_model_cfg("tiny-win-student"),
+        teachers=("depthanything-base-window",),
+        loss=LossConfig(use_hdn=False),
+        optimizer=OptimizerConfig(lr=1e-4, warmup_steps=0, schedule="none",
+                                  total_steps=4),
+        batch_size=2, image_size=126, num_epochs=1, val_split=0.0,
+        checkpoint_interval=0, log_interval=1, visualize_interval=0,
+        output_dir=str(tmp_path), teacher_chunk=0,
+    )
+    trainer = Trainer(cfg)
+    p0 = jax.tree_util.tree_map(np.array, trainer.state.params)
+
+    def batches(epoch):
+        rng = np.random.RandomState(0)
+        for _ in range(2):
+            yield {"image": rng.rand(2, 126, 126, 3).astype(np.float32)}
+
+    history = trainer.run(batches, max_steps=2)
+    assert np.all(np.isfinite(history["train_loss"])), history
+    # gradients flowed: student params moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        trainer.state.params, p0,
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
 def test_multi_teacher_switch(tiny_setup):
     scfg, student, sp, teacher, tp = tiny_setup
     teacher2 = create_model(tiny_model_cfg("tiny-teacher2"))
