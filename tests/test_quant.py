@@ -109,7 +109,12 @@ def test_model_int8_forward_close():
 
 
 def test_train_step_with_int8_teacher():
-    """A distill step with an int8 teacher runs and produces finite loss."""
+    """A distill step with an int8 teacher runs, produces finite loss, and
+    its loss components track the unquantized-teacher step within the
+    documented <2% relative pseudo-label shift (docs/DESIGN.md int8
+    section): the SSI/normalization-heavy stack is scale/shift invariant by
+    construction, so teacher quantization noise must not leak into the
+    training signal beyond that bound."""
     from distill_any_depth_tpu.configs import LossConfig, OptimizerConfig
     from distill_any_depth_tpu.models.factory import create_model, init_params
     from distill_any_depth_tpu.train.state import create_train_state
@@ -117,20 +122,35 @@ def test_train_step_with_int8_teacher():
 
     size = 56
     student = create_model("depthanything-small")
-    teacher = create_model("depthanything-small", quant="int8")
     sp = init_params(student, 0, image_size=size)
-    tp = init_params(teacher, 1, image_size=size)
-    state, tx = create_train_state(
-        sp, OptimizerConfig(lr=1e-4, warmup_steps=0, schedule="none", total_steps=10)
-    )
-    step = make_train_step(
-        lambda p, x: student.apply({"params": p}, x),
-        [lambda p, x: teacher.apply({"params": p}, x)],
-        tx,
-        LossConfig(use_hdn=False),
-        seed=0,
-    )
+    teacher_plain = create_model("depthanything-small")
+    tp = init_params(teacher_plain, 1, image_size=size)
     x = jnp.asarray(np.random.RandomState(0).rand(2, size, size, 3), jnp.float32)
-    state, metrics = step(state, (tp,), x, x)
-    assert np.isfinite(float(metrics["total"]))
-    assert int(state.step) == 1
+
+    def run(teacher):
+        state, tx = create_train_state(
+            jax.tree_util.tree_map(jnp.array, sp),
+            OptimizerConfig(lr=1e-4, warmup_steps=0, schedule="none",
+                            total_steps=10),
+        )
+        step = make_train_step(
+            lambda p, xx: student.apply({"params": p}, xx),
+            [lambda p, xx: teacher.apply({"params": p}, xx)],
+            tx,
+            LossConfig(use_hdn=True, hdn_variant="dr"),
+            seed=0,
+        )
+        state, metrics = step(state, (tp,), x, x)
+        assert int(state.step) == 1
+        return {k: float(v) for k, v in metrics.items()}
+
+    m_q = run(create_model("depthanything-small", quant="int8"))
+    m_ref = run(teacher_plain)
+    assert np.isfinite(m_q["total"])
+    # teacher-dependent components shift <2% relative; the teacher-free ones
+    # (lg, grad) are bit-identical because the student side is untouched
+    for key in ("total", "sc", "hdn", "feat"):
+        rel = abs(m_q[key] - m_ref[key]) / (abs(m_ref[key]) + 1e-9)
+        assert rel < 0.02, (key, m_q[key], m_ref[key])
+    for key in ("lg", "grad"):
+        assert m_q[key] == m_ref[key], (key, m_q[key], m_ref[key])
