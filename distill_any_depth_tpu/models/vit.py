@@ -135,6 +135,9 @@ class Attention(nn.Module):
     lora_rank: int = 0
     band: tuple[int, int] | None = None
     quant: str = "none"
+    # Static count of real token rows when the encoder carries an 8-aligned
+    # padded N (DinoViT); keys at or beyond it are masked in-kernel.
+    n_valid: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -152,7 +155,8 @@ class Attention(nn.Module):
         # here, which is exactly the layout the packed flash path consumes
         # without any relayout (ops/attention.multi_head_attention_packed).
         out = multi_head_attention_packed(qkv, h, bias=bias,
-                                          impl=self.attn_impl, band=self.band)
+                                          impl=self.attn_impl, band=self.band,
+                                          n_valid=self.n_valid)
         return dense(c, "proj")(out)
 
 
@@ -171,6 +175,7 @@ class Block(nn.Module):
     band: tuple[int, int] | None = None
     gelu: str = "auto"
     quant: str = "none"
+    n_valid: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -195,7 +200,8 @@ class Block(nn.Module):
         y = maybe_ssf("ssf_norm1", y)
         y = Attention(
             self.num_heads, self.dtype, self.attn_impl, self.lora_rank,
-            band=self.band, quant=self.quant, name="attn"
+            band=self.band, quant=self.quant, n_valid=self.n_valid,
+            name="attn"
         )(y, bias)
         y = maybe_ssf("ssf_attn", y)
         x = x + layer_scale("ls1_gamma", y)
@@ -368,6 +374,23 @@ class DinoViT(nn.Module):
             )
             n_prefix += cfg.num_register_tokens
 
+        # Carry an 8-aligned token count through the blocks: the attention
+        # kernels tile kv rows in 8-row sublanes, and padding N per-block
+        # (jnp.pad around every kernel call) copies the whole qkv tensor 24x
+        # per ViT-L forward. Pad ONCE here instead; pad rows are masked as
+        # keys in-kernel (Attention.n_valid) so real-token outputs are exact,
+        # and their own rows (garbage, but finite) are sliced off at the
+        # taps. Gradients stay exact: the loss only reads sliced taps, so
+        # pad rows receive zero cotangents, and masked keys contribute
+        # exactly zero to dk/dv. Windowed models (grid-shaped bias) keep
+        # their native N.
+        n_valid = None
+        if cfg.window_size is None and tokens.shape[1] % 8:
+            n_valid = tokens.shape[1]
+            tokens = jnp.pad(
+                tokens, ((0, 0), (0, -n_valid % 8), (0, 0))
+            )
+
         block = Block
         if self.remat:
             block = nn.remat(Block, static_argnums=())
@@ -400,6 +423,7 @@ class DinoViT(nn.Module):
                 band=band,
                 gelu=self.gelu,
                 quant=self.quant,
+                n_valid=n_valid,
                 name=f"blocks_{i}",
             )(tokens, bias)
             if i in out_set:
@@ -411,7 +435,7 @@ class DinoViT(nn.Module):
             # Windowed-variant contract (ViT_DINO.py:1253-1264): all four
             # "taps" are the same final post-norm token tensor.
             t = norm(tokens)
-            taps = [t[:, n_prefix:]] * 4
+            taps = [t[:, n_prefix:n_valid]] * 4
             cls_tokens = [t[:, 0]] * 4
         else:
             for i in cfg.out_indices:
@@ -419,7 +443,9 @@ class DinoViT(nn.Module):
                 # (ViT_DINO_reg.py:1030-1038).
                 t = norm(raw_taps[i]) if cfg.tap_norm else raw_taps[i]
                 cls_tokens.append(t[:, 0])
-                taps.append(t[:, n_prefix:])
+                # n_valid slice drops the 8-alignment pad rows (no-op when
+                # n_valid is None)
+                taps.append(t[:, n_prefix:n_valid])
             if not cfg.tap_norm:
                 norm(tokens)  # keep the final-norm params in the pytree
         return taps, cls_tokens

@@ -86,6 +86,7 @@ def multi_head_attention_packed(
     bias: jnp.ndarray | None = None,
     impl: str = "auto",
     band: tuple[int, int] | None = None,
+    n_valid: int | None = None,
 ) -> jnp.ndarray:
     """Attention on the fused-QKV GEMM output ``[B, N, 3*H*D]`` (torch
     (branch, head, dim) column packing), returning ``[B, N, H*D]``.
@@ -94,11 +95,19 @@ def multi_head_attention_packed(
     (ops/flash_attention.mha_flash_packed) — no [B,N,H,D] <-> [B*H,N,D]
     relayouts in the forward. Everything else unpacks and goes through
     ``multi_head_attention``.
+
+    ``n_valid`` (static): rows at or beyond it are padding tokens (the
+    encoder carries an 8-aligned N, models/vit.DinoViT) — the flash path
+    masks those keys in-kernel; fallback paths slice them off, run on the
+    real rows, and zero-pad the output back (exact either way: pad rows
+    never influence real rows, and their own outputs are discarded).
     """
     if impl not in ("auto", "flash", "reference"):
         raise ValueError(f"unknown attention impl {impl!r}")
     b, n, c3 = qkv.shape
     d = c3 // 3 // num_heads
+    if n_valid is not None and n_valid >= n:
+        n_valid = None
     if (
         bias is None
         and band is None
@@ -111,7 +120,13 @@ def multi_head_attention_packed(
         if flash_attention.packed_flash_eligible(
             b, c3 // 3, d, qkv.dtype.itemsize
         ):
-            return flash_attention.mha_flash_packed(qkv, num_heads)
+            return flash_attention.mha_flash_packed(qkv, num_heads,
+                                                    n_valid=n_valid)
+    if n_valid is not None:
+        out = multi_head_attention_packed(
+            qkv[:, :n_valid], num_heads, bias, impl, band
+        )
+        return jnp.pad(out, ((0, 0), (0, n - n_valid), (0, 0)))
     qkv5 = qkv.reshape(b, n, 3, num_heads, d)
     out = multi_head_attention(
         qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2], bias, impl, band

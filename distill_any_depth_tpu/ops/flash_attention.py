@@ -518,7 +518,8 @@ def _packed_lanes(b: int, c: int, lanes: int) -> int | None:
     return lanes
 
 
-def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
+def _packed_fwd_impl(qkv, num_heads: int, interpret: bool,
+                     n_valid: int | None = None):
     """Dense forward on head-interleaved packed qkv.
 
     ``qkv``: [B, N, 3*H*D], the raw fused-QKV GEMM output in the torch
@@ -582,7 +583,7 @@ def _packed_fwd_impl(qkv, num_heads: int, interpret: bool):
         qkv if np_all == n else jnp.pad(qkv, ((0, 0), (0, np_all - n), (0, 0)))
     )
     kernel = functools.partial(
-        _packed_kernel, hd=hd, d=d, n_real=n, scale=scale
+        _packed_kernel, hd=hd, d=d, n_real=n_valid or n, scale=scale
     )
     out = pl.pallas_call(
         kernel,
@@ -691,7 +692,8 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _packed_bwd_impl(qkv, g, num_heads: int, interpret: bool):
+def _packed_bwd_impl(qkv, g, num_heads: int, interpret: bool,
+                     n_valid: int | None = None):
     """dqkv for ``_packed_fwd_impl``, straight on the packed layouts.
 
     ``qkv``: [B, N, 3C] (fwd residual), ``g``: [B, N, C] output cotangent.
@@ -734,7 +736,7 @@ def _packed_bwd_impl(qkv, g, num_heads: int, interpret: bool):
         g = jnp.pad(g, ((0, 0), (0, np_all - n), (0, 0)))
     kernel = functools.partial(
         _packed_bwd_kernel, hd=hd, d=d, nq=nq_pad // q_block,
-        n_real=n, scale=scale,
+        n_real=n_valid or n, scale=scale,
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -766,18 +768,18 @@ def _packed_bwd_impl(qkv, g, num_heads: int, interpret: bool):
     return jnp.concatenate([dq[:, :n], dk[:, :n], dv[:, :n]], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _flash_packed(qkv, num_heads, interpret):
-    return _packed_fwd_impl(qkv, num_heads, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _flash_packed(qkv, num_heads, interpret, n_valid):
+    return _packed_fwd_impl(qkv, num_heads, interpret, n_valid)
 
 
-def _flash_packed_fwd(qkv, num_heads, interpret):
-    return _packed_fwd_impl(qkv, num_heads, interpret), (qkv,)
+def _flash_packed_fwd(qkv, num_heads, interpret, n_valid):
+    return _packed_fwd_impl(qkv, num_heads, interpret, n_valid), (qkv,)
 
 
-def _flash_packed_bwd(num_heads, interpret, residuals, g):
+def _flash_packed_bwd(num_heads, interpret, n_valid, residuals, g):
     (qkv,) = residuals
-    return (_packed_bwd_impl(qkv, g, num_heads, interpret)
+    return (_packed_bwd_impl(qkv, g, num_heads, interpret, n_valid)
             .astype(qkv.dtype),)
 
 
@@ -809,17 +811,28 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
 def mha_flash_packed(
-    qkv: jnp.ndarray, num_heads: int, interpret: bool | None = None
+    qkv: jnp.ndarray, num_heads: int, interpret: bool | None = None,
+    n_valid: int | None = None,
 ) -> jnp.ndarray:
     """Flash attention straight on the fused-QKV GEMM output.
 
     ``qkv``: [B, N, 3*H*D] in the torch (branch, head, dim) column packing
     (models/vit.Attention); returns [B, N, H*D]. Bias-free dense attention
     only — windowed/banded/packed-segment paths use ``mha_flash``.
+
+    ``n_valid`` (static): only the first ``n_valid`` rows are real tokens —
+    key/value rows at or beyond it are masked out exactly (-inf scores) in
+    both the forward and the recomputed backward probabilities. This is how
+    the encoder carries an 8-aligned padded token count end-to-end instead
+    of paying a whole-tensor jnp.pad around every block's kernel call
+    (~77 MB copied per ViT-L block at bs16 392^2 for a 785->792 pad).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    return _flash_packed(qkv, num_heads, interpret)
+    if n_valid is not None and not 0 < n_valid <= qkv.shape[1]:
+        raise ValueError(f"n_valid {n_valid} out of range for N={qkv.shape[1]}")
+    return _flash_packed(qkv, num_heads, interpret,
+                         None if n_valid == qkv.shape[1] else n_valid)
 
 
 def _reference_attention(q, k, v, bias):

@@ -59,6 +59,9 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=392)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--teacher_chunk", type=int, default=8,
+                    help="train: lax.map teacher chunk (bench.py default 8; "
+                         "0 disables)")
     args = ap.parse_args()
 
     import numpy as np
@@ -96,6 +99,7 @@ def main() -> None:
             lambda p, xx: student.apply({"params": p}, xx.astype(jnp.bfloat16)),
             [lambda p, xx: teacher.apply({"params": p}, xx.astype(jnp.bfloat16))],
             tx, LossConfig(), seed=0, views_shared=True,
+            teacher_chunk=args.teacher_chunk,
         )
         holder = {"state": state}
         xs = jnp.asarray(rng.rand(args.batch, args.size, args.size, 3),

@@ -273,3 +273,54 @@ def test_packed_dispatch_falls_back_off_tpu():
     np.testing.assert_allclose(np.asarray(out_b),
                                np.asarray(ref_b.reshape(b, n, h * d)),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mha_flash_packed_n_valid_masks_pad_rows():
+    """n_valid masking: a padded [B, N8, 3C] qkv with garbage pad rows must
+    produce, on the real rows, exactly the output of the unpadded call —
+    and gradients must flow only to the real rows (the encoder-level
+    8-aligned padding of models/vit.DinoViT rides on this)."""
+    from distill_any_depth_tpu.ops.flash_attention import mha_flash_packed
+
+    b, n, h, d = 2, 13, 4, 32
+    n8 = 16
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(b, n, 3 * h * d), jnp.float32)
+    garbage = jnp.asarray(100.0 * rng.randn(b, n8 - n, 3 * h * d), jnp.float32)
+    qkv_p = jnp.concatenate([qkv, garbage], axis=1)
+
+    ref = mha_flash_packed(qkv, h, interpret=True)
+    out = mha_flash_packed(qkv_p, h, interpret=True, n_valid=n)
+    np.testing.assert_allclose(np.asarray(out[:, :n]), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # grads: cotangent zero on pad rows (the DinoViT contract) -> dqkv of the
+    # real rows matches the unpadded call, pad rows get exactly zero
+    def loss_p(x):
+        o = mha_flash_packed(x, h, interpret=True, n_valid=n)
+        return jnp.sum(jnp.sin(o[:, :n]))
+
+    def loss_u(x):
+        return jnp.sum(jnp.sin(mha_flash_packed(x, h, interpret=True)))
+
+    gp = jax.grad(loss_p)(qkv_p)
+    gu = jax.grad(loss_u)(qkv)
+    np.testing.assert_allclose(np.asarray(gp[:, :n]), np.asarray(gu),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(gp[:, n:]).max()) == 0.0
+
+
+def test_packed_dispatch_n_valid_fallback_slices():
+    """The einsum fallback of multi_head_attention_packed slices off the pad
+    rows and zero-pads the output back."""
+    from distill_any_depth_tpu.ops.attention import multi_head_attention_packed
+
+    b, n, h, d = 2, 11, 2, 16
+    rng = np.random.RandomState(3)
+    qkv = jnp.asarray(rng.randn(b, n, 3 * h * d), jnp.float32)
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, 5), (0, 0)), constant_values=7.0)
+    ref = multi_head_attention_packed(qkv, h, impl="reference")
+    out = multi_head_attention_packed(qkv_p, h, impl="reference", n_valid=n)
+    np.testing.assert_allclose(np.asarray(out[:, :n]), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    assert float(jnp.abs(out[:, n:]).max()) == 0.0
