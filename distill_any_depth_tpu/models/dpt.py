@@ -40,6 +40,26 @@ def _conv3x3(features: int, stride: int = 1, use_bias: bool = True, name: str | 
     )
 
 
+class _DenseParams(nn.Module):
+    """Parameter-compatible stand-in for ``nn.Dense`` (same names, shapes,
+    and init) that RETURNS the (kernel, bias) values instead of applying
+    them — used by the fused-tail branch, which hands the weights to the
+    Pallas kernel rather than calling the layer."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class FusedConv3x3(nn.Module):
     """3x3/s1 conv evaluated as a phase-packed 4x4/s2 conv + depth-to-space.
 
@@ -63,10 +83,13 @@ class FusedConv3x3(nn.Module):
     # Dense) before ``merge_phases`` — the depth-to-space relayout then
     # moves the (small) final channel count instead of C_out.
     keep_phases: bool = False
+    # Set when calling with x=None (fused-tail branch): the module then
+    # only declares its parameters and returns (kernel, bias) as f32.
+    in_features: int | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c_in = x.shape[-1]
+    def __call__(self, x: jnp.ndarray | None = None) -> jnp.ndarray:
+        c_in = self.in_features if x is None else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
             jnp.float32,
@@ -76,6 +99,8 @@ class FusedConv3x3(nn.Module):
             if self.use_bias
             else None
         )
+        if x is None:
+            return kernel, bias
         k = kernel.astype(self.dtype)
         co = self.features
         if x.ndim == 6:
@@ -213,6 +238,10 @@ class FeatureFusionBlock(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     packed_output: bool = False
+    # Apply out_conv at the pre-upsample resolution and return WITHOUT the
+    # resize (valid for the same commutation reason as packed_output) —
+    # the fused-tail Pallas kernel folds the upsample into itself.
+    defer_resize: bool = False
 
     @nn.compact
     def __call__(
@@ -226,6 +255,8 @@ class FeatureFusionBlock(nn.Module):
         x = ResidualConvUnit(self.features, self.dtype, name="rcu2")(x)
         if size is None:
             size = (x.shape[1] * 2, x.shape[2] * 2)
+        if self.defer_resize:
+            return nn.Dense(self.features, dtype=self.dtype, name="out_conv")(x)
         if self.packed_output and size[0] % 2 == 0 and size[1] % 2 == 0:
             x = nn.Dense(self.features, dtype=self.dtype, name="out_conv")(x)
             return resize_2d_packed(x, size, "bilinear", align_corners=True)
@@ -248,6 +279,13 @@ class DPTHead(nn.Module):
     trailing_relu: bool = True  # student head ends in ReLU; teacher does not
     patch_size: int = 14
     dtype: Dtype = jnp.float32
+    # Run the whole post-refinenet1 tail (2x upsample, output_conv1, the
+    # align_corners upsample to patch-grid res, output_conv2 + ReLU + 1x1)
+    # as ONE Pallas kernel (ops/dpt_tail). FORWARD-ONLY: no VJP is defined,
+    # so enable it only on gradient-free paths (inference, pseudo-labels,
+    # stop-gradient teacher forwards). Parameter structure is identical to
+    # the packed path; unsupported shapes fall back automatically.
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(
@@ -301,6 +339,28 @@ class DPTHead(nn.Module):
         # convs stay aligned GEMMs. Odd target sizes (impossible for
         # patch 14) fall back to the spatial path.
         oh, ow = gh * self.patch_size, gw * self.patch_size
+        if self.fused_tail:
+            from distill_any_depth_tpu.ops.dpt_tail import (
+                fused_dpt_tail, fused_tail_supported)
+            ht, wt = rn[0].shape[1], rn[0].shape[2]
+            if fused_tail_supported(ht, wt, self.features, oh, ow,
+                                    self.features // 2, 32,
+                                    self.head_out_channels,
+                                    jnp.dtype(self.dtype).itemsize):
+                t = FeatureFusionBlock(self.features, self.dtype,
+                                       defer_resize=True,
+                                       name="refinenet1")(path, rn[0])
+                k1, b1 = FusedConv3x3(self.features // 2, dtype=self.dtype,
+                                      in_features=self.features,
+                                      name="output_conv1")(None)
+                k2, b2 = FusedConv3x3(32, dtype=self.dtype,
+                                      in_features=self.features // 2,
+                                      name="output_conv2_0")(None)
+                kd, bd = _DenseParams(self.head_out_channels, 32,
+                                      name="output_conv2_2")()
+                x = fused_dpt_tail(t, (oh, ow), k1, b1, k2, b2, kd, bd,
+                                   trailing_relu=self.trailing_relu)
+                return x[..., None]
         # (refinenet1's own 2x upsample target is even by construction;
         # only the final patch-grid target can be odd, and never is for
         # patch 14)
@@ -348,6 +408,8 @@ class DepthModel(nn.Module):
     gelu: str = "auto"  # see models/vit.Mlp
     # "int8": dynamic-W8A8 encoder GEMMs, inference-only (ops/quant.py).
     quant: str = "none"
+    # Fused Pallas DPT-head tail; forward-only (see DPTHead.fused_tail).
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pe_step: jnp.ndarray | None = None):
@@ -373,6 +435,7 @@ class DepthModel(nn.Module):
             trailing_relu=self.cfg.trailing_head_relu,
             patch_size=p,
             dtype=self.dtype,
+            fused_tail=self.fused_tail,
             name="depth_head",
         )(taps, gh, gw, cls_tokens)
 

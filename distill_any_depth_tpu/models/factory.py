@@ -23,13 +23,18 @@ def create_model(
     remat: bool = False,
     gelu: str = "auto",
     quant: str = "none",
+    fused_tail: bool = False,
 ) -> DepthModel:
     """``quant="int8"``: run the encoder GEMMs as dynamic W8A8 int8 (2x MXU
     rate on v5e; ops/quant.py). Inference-only — keep "none" for any model
-    that receives gradients."""
+    that receives gradients.
+
+    ``fused_tail``: run the DPT-head tail as one Pallas kernel
+    (ops/dpt_tail). Forward-only like ``quant`` — enable on inference /
+    pseudo-label / stop-gradient-teacher models, never the student."""
     cfg = arch_name if isinstance(arch_name, ModelConfig) else model_config(arch_name)
     return DepthModel(cfg=cfg, dtype=dtype, attn_impl=attn_impl, remat=remat,
-                      gelu=gelu, quant=quant)
+                      gelu=gelu, quant=quant, fused_tail=fused_tail)
 
 
 def init_params(
