@@ -49,6 +49,10 @@ def argument_parser() -> argparse.ArgumentParser:
                         "int8_pallas: fused-quant Pallas kernel — measured "
                         "SLOWER end-to-end (0.81x, kept as the documented "
                         "counter-example, docs/DESIGN.md)")
+    p.add_argument("--fused_tail", default="auto", choices=["auto", "on", "off"],
+                   help="run the DPT-head tail as one Pallas kernel "
+                        "(ops/dpt_tail; forward-only). auto = on for TPU "
+                        "backends, off elsewhere")
     p.add_argument("--cmap", default="Spectral_r")
     p.add_argument(
         "--host_preprocess", action="store_true",
@@ -78,7 +82,11 @@ def main(args=None) -> list[str]:
 
     from distill_any_depth_tpu.configs import model_config
     from distill_any_depth_tpu.data.transforms import standard_transform
-    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.models.factory import (
+        create_model,
+        init_params,
+        resolve_fused_tail,
+    )
     from distill_any_depth_tpu.utils.checkpoint import load_safetensors
     from distill_any_depth_tpu.utils.image_util import (
         chw2hwc,
@@ -91,7 +99,9 @@ def main(args=None) -> list[str]:
     logging.basicConfig(level=logging.INFO)
 
     cfg = model_config(args.arch_name)
-    model = create_model(cfg, dtype=jnp.dtype(args.dtype), quant=args.quant)
+    model = create_model(cfg, dtype=jnp.dtype(args.dtype), quant=args.quant,
+                         fused_tail=resolve_fused_tail(
+                             getattr(args, "fused_tail", "auto")))
     if args.checkpoint:
         params = load_safetensors(args.checkpoint, cfg)
         params = jax.tree_util.tree_map(jnp.asarray, params)

@@ -30,6 +30,9 @@ def argument_parser() -> argparse.ArgumentParser:
                         "int8_pallas: fused-quant Pallas kernel — measured "
                         "SLOWER end-to-end (0.81x, kept as the documented "
                         "counter-example, docs/DESIGN.md)")
+    p.add_argument("--fused_tail", default="auto", choices=["auto", "on", "off"],
+                   help="fused Pallas DPT-head tail (ops/dpt_tail); "
+                        "auto = on for TPU backends")
     p.add_argument("--save_png16", action="store_true",
                    help="also save normalized uint16 PNGs")
     return p
@@ -41,7 +44,11 @@ def main(args=None) -> list[str]:
     import jax.numpy as jnp
 
     from distill_any_depth_tpu.configs import model_config
-    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.models.factory import (
+        create_model,
+        init_params,
+        resolve_fused_tail,
+    )
     from distill_any_depth_tpu.ops.preprocess import preprocess_on_device, snap_to_bucket
     from distill_any_depth_tpu.utils.checkpoint import load_safetensors
 
@@ -50,7 +57,9 @@ def main(args=None) -> list[str]:
     logging.basicConfig(level=logging.INFO)
 
     cfg = model_config(args.arch_name)
-    model = create_model(cfg, dtype=jnp.dtype(args.dtype), quant=args.quant)
+    model = create_model(cfg, dtype=jnp.dtype(args.dtype), quant=args.quant,
+                         fused_tail=resolve_fused_tail(
+                             getattr(args, "fused_tail", "auto")))
     if args.checkpoint:
         params = jax.tree_util.tree_map(
             jnp.asarray, load_safetensors(args.checkpoint, cfg)

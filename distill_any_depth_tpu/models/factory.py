@@ -37,6 +37,20 @@ def create_model(
                       gelu=gelu, quant=quant, fused_tail=fused_tail)
 
 
+def resolve_fused_tail(mode) -> bool:
+    """Resolve a ``fused_tail`` CLI/config setting to a bool.
+
+    ``True``/``False`` pass through; ``"on"``/``"off"`` map to them;
+    ``"auto"``/``None`` enable the fused Pallas tail only when the default
+    backend is a real TPU (the kernel is interpret-emulated — slow — on
+    CPU, and the packed XLA tail is already optimal there)."""
+    if isinstance(mode, bool):
+        return mode
+    if mode in (None, "auto"):
+        return jax.devices()[0].platform == "tpu"
+    return mode == "on"
+
+
 def init_params(
     model: DepthModel, rng: jax.Array | int = 0, image_size: int = 392
 ) -> dict:

@@ -83,7 +83,7 @@ def _tail_plan(ht: int, oh: int, ty: int):
     hu = 2 * ht
     r1 = resize_matrix(ht, hu, "bilinear", True)   # [hu, ht]
     r2 = resize_matrix(hu, oh, "bilinear", True)   # [oh, hu]
-    n = oh // ty
+    n = -(-oh // ty)  # ceil: the partial last block's rows are masked out
     tw = ty + 2
     # v windows per tile
     v0s, v1s = [], []
@@ -131,10 +131,16 @@ def _vmem_estimate(ht, wt, ci, cm, c2, tu, tv, tw, ty, ow, itemsize):
 
 def _pick_tile(ht: int, wt: int, ci: int, oh: int, ow: int, cm: int,
                c2: int, itemsize: int) -> int:
-    """Largest output-row tile dividing ``oh`` whose working set fits VMEM."""
-    for ty in range(min(64, oh), 7, -1):
-        if oh % ty:
-            continue
+    """Largest output-row tile dividing ``oh`` whose working set fits VMEM.
+
+    Mosaic requires the output block's second-minor dim to be divisible by
+    8 — or equal to the full array dim — so candidates are multiples of 8
+    (the grid ceil-divides; the partial last block's rows are masked) plus
+    ``oh`` itself for small heads."""
+    cands = list(range(64, 7, -8))
+    if oh <= 64:
+        cands = [oh] + [t for t in cands if t < oh]
+    for ty in cands:
         tu, tv, _, _ = _tail_plan(ht, oh, ty)
         if _vmem_estimate(ht, wt, ci, cm, c2, tu, tv, ty + 2, ty, ow,
                           itemsize) <= _VMEM_BUDGET:
@@ -263,7 +269,7 @@ def fused_dpt_tail(
             f"fused_dpt_tail: no VMEM-feasible tile for {t.shape}->{out_hw}"
             " (gate with fused_tail_supported first)")
     tu, tv, R1, R2 = _tail_plan(ht, oh, ty)
-    n = oh // ty
+    n = -(-oh // ty)
     tw = ty + 2
     wu = 2 * wt
     # Width resize matrices, zero-ROW padded to [0 | real | zeros] with a

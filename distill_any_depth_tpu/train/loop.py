@@ -21,7 +21,11 @@ import numpy as np
 
 from distill_any_depth_tpu.configs import TrainConfig
 from distill_any_depth_tpu.data.nyu import NYUDataset, iterate_batches
-from distill_any_depth_tpu.models.factory import create_model, init_params
+from distill_any_depth_tpu.models.factory import (
+    create_model,
+    init_params,
+    resolve_fused_tail,
+)
 from distill_any_depth_tpu.train.state import (
     TrainState,
     create_train_state,
@@ -61,7 +65,9 @@ class Trainer:
         for i, name in enumerate(cfg.teachers):
             tcfg = model_config(name)
             model = create_model(tcfg, dtype=teacher_dtype, attn_impl=cfg.attn_impl,
-                                 quant=cfg.teacher_quant)
+                                 quant=cfg.teacher_quant,
+                                 fused_tail=resolve_fused_tail(
+                                     cfg.teacher_fused_tail))
             if i < len(cfg.teacher_checkpoints) and cfg.teacher_checkpoints[i]:
                 params = ckpt_io.load_safetensors(cfg.teacher_checkpoints[i], tcfg)
                 params = jax.tree_util.tree_map(jnp.asarray, params)
