@@ -247,7 +247,7 @@ class TrainConfig:
     # fused Pallas DPT-head tail on teacher forwards (ops/dpt_tail) — valid
     # because teachers sit under stop_gradient (the kernel is forward-only).
     # "auto": on for TPU backends, off elsewhere; "on"/"off" force it.
-    teacher_fused_tail: str = "auto"
+    teacher_fused_tail: str = "off"
     # run teacher forwards as sequential lax.map chunks of this batch size
     # (0 = off). bs16's full-res DPT-tail intermediates thrash HBM; 2x bs8
     # chunks measured 95.8 -> 86.3 ms on the ViT-L 392^2 teacher (v5e,
