@@ -38,6 +38,8 @@ _HARNESSES = {
     "softmax_variants": ("profile_softmax_variants", "softmax lowerings"),
     "teacher_chunk": ("profile_teacher_chunk", "chunked bs16 teacher"),
     "train_pieces": ("profile_train_pieces", "train step decomposition"),
+    "window_teacher": ("profile_window_teacher",
+                       "windowed ViT-B teacher fwd + distill step"),
     "trace": ("trace_report", "xprof top-ops for forward/loss/train"),
 }
 

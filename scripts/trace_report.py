@@ -18,8 +18,12 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import shutil
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _top_ops(trace_dir: str, iters: int, top: int) -> None:
