@@ -22,6 +22,18 @@ def argument_parser() -> argparse.ArgumentParser:
                         "version of the reference's dead dataset YAMLs)")
     p.add_argument("--filenames", default=None,
                    help="override the registry's split-list path")
+    p.add_argument("--eval_resolution", default="default",
+                   choices=["default", "native", "square"],
+                   help="registry datasets only: 'native' evaluates at GT "
+                        "resolution (keep-aspect image, prediction "
+                        "upsampled — the geobench/Marigold protocol; the "
+                        "default for every benchmark except NYU); 'square' "
+                        "resizes both to image_size x image_size (NYU "
+                        "reference parity)")
+    p.add_argument("--mask_crop", default="default",
+                   choices=["default", "eigen", "garg", "none"],
+                   help="registry datasets only: override the valid-mask "
+                        "crop policy (KITTI: eigen or garg)")
     p.add_argument("--data_dir", default="data/nyu")
     p.add_argument("--image_size", type=int, default=392)
     p.add_argument("--batch_size", type=int, default=8)
@@ -57,9 +69,15 @@ def main(args=None) -> dict:
     else:
         from distill_any_depth_tpu.data.registry import FileListDataset
 
+        native = {"default": None, "native": True, "square": False}[
+            args.eval_resolution]
+        crop = ("default" if args.mask_crop == "default"
+                else None if args.mask_crop == "none" else args.mask_crop)
         ds = FileListDataset(args.dataset, args.data_dir,
                              image_size=args.image_size,
-                             filenames=args.filenames)
+                             filenames=args.filenames,
+                             native_resolution=native,
+                             valid_mask_crop=crop)
 
     def load(path):
         if path is None:

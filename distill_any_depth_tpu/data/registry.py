@@ -159,10 +159,26 @@ def _valid_mask(depth: np.ndarray, spec: DatasetSpec) -> np.ndarray:
 class FileListDataset:
     """Split-list-driven eval dataset for any registered benchmark.
 
-    Yields ``NYUSample``s (so ``data.nyu.iterate_batches`` works unchanged):
-    ``image`` square-resized to ``image_size`` + ImageNet-normalized,
-    ``depth`` NEAREST-resized with invalid pixels zeroed at native
-    resolution first (zeros survive NEAREST, so the metric mask is exact).
+    Yields ``NYUSample``s (so ``data.nyu.iterate_batches`` works unchanged).
+    Two resolution protocols:
+
+    - ``native_resolution=True`` (default for every benchmark except NYU):
+      the image is keep-aspect resized (lower_bound, multiple of 14 — the
+      reference's own inference sizing, midas/transforms.py Resize) and the
+      GT depth is returned **untouched at native resolution** (after the
+      benchmark crop + invalid-pixel zeroing). The eval harness upsamples
+      the *prediction* to GT resolution (eval/evaluate.py) — the
+      geobench/Marigold protocol the reference's dataset YAMLs descend from
+      (/root/reference/configs/dataset_configs/single/
+      data_kitti_eigen_test.yaml). A square-resized KITTI (aspect 3.45:1)
+      would produce numbers comparable to nothing published.
+    - ``native_resolution=False`` (NYU default): image AND depth square-
+      resized to ``image_size`` (depth NEAREST, invalids zeroed at native
+      resolution first so zeros survive) — reference eval parity
+      (tools/evaluate.py:179-191 resizes both to a square).
+
+    ``valid_mask_crop`` overrides the spec's policy (``None``/"eigen"/
+    "garg") — the eigen vs garg choice on KITTI.
     """
 
     def __init__(
@@ -171,8 +187,19 @@ class FileListDataset:
         data_dir: str,
         image_size: int = 392,
         filenames: str | None = None,
+        native_resolution: bool | None = None,
+        valid_mask_crop: str | None = "default",
     ):
         self.spec = get_spec(spec) if isinstance(spec, str) else spec
+        if valid_mask_crop != "default":
+            import dataclasses
+
+            self.spec = dataclasses.replace(
+                self.spec, valid_mask_crop=valid_mask_crop
+            )
+        if native_resolution is None:
+            native_resolution = self.spec.name not in ("nyu", "nyu_v2")
+        self.native_resolution = native_resolution
         self.data_dir = data_dir
         self.image_size = image_size
         list_path = filenames or os.path.join(data_dir, self.spec.filenames)
@@ -207,6 +234,20 @@ class FileListDataset:
             rgb = rgb[top : top + ch, left : left + cw]
 
         depth = np.where(_valid_mask(depth, spec), depth, 0.0).astype(np.float32)
+
+        if self.native_resolution:
+            from distill_any_depth_tpu.data.transforms import Resize
+
+            h, w = rgb.shape[:2]
+            nw, nh = Resize(
+                self.image_size, self.image_size, resize_target=False,
+                keep_aspect_ratio=True, ensure_multiple_of=14,
+                resize_method="lower_bound",
+                image_interpolation_method=cv2.INTER_CUBIC,
+            ).get_size(w, h)
+            image = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_CUBIC)
+            image = (image.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            return NYUSample(image=image, depth=depth, rgb_path=rgb_rel)
 
         size = (self.image_size, self.image_size)
         image = cv2.resize(rgb, size, interpolation=cv2.INTER_CUBIC)

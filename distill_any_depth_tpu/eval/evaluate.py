@@ -26,13 +26,30 @@ __all__ = ["evaluate_model", "compare_models", "write_report"]
 def evaluate_model(model, params, batches: Iterable[dict]) -> dict:
     """Average the 8 metrics over all valid samples.
 
-    ``batches`` yield {'image': [B,H,W,3], 'depth': [B,H,W]}.
+    ``batches`` yield {'image': [B,H,W,3], 'depth': [B,H,W]}. When the
+    prediction and GT resolutions differ (the registry datasets' native-
+    resolution protocol, data/registry.py), the PREDICTION is bilinearly
+    upsampled to the GT grid and the GT stays untouched — the
+    geobench/Marigold convention behind the reference's eval YAMLs
+    (torch F.interpolate default, align_corners=False).
     """
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+    from distill_any_depth_tpu.ops.resize import resize_2d
+
+    def _fwd(p, x, gt_hw: tuple):
+        pred = model.apply({"params": p}, x)[0]
+        if pred.shape[1:3] != gt_hw:
+            pred = resize_2d(
+                pred[..., None].astype(jnp.float32), gt_hw, "bilinear",
+                align_corners=False,
+            )[..., 0]
+        return pred.astype(jnp.float32)
+
+    fwd = jax.jit(_fwd, static_argnums=(2,))
     sums = {k: 0.0 for k in METRIC_KEYS}
     n = 0
     for batch in batches:
-        pred = fwd(params, jnp.asarray(batch["image"], model.dtype))
+        gt_hw = tuple(np.asarray(batch["depth"]).shape[1:3])
+        pred = fwd(params, jnp.asarray(batch["image"], model.dtype), gt_hw)
         per_sample, valid = batched_depth_metrics(
             np.asarray(pred, np.float32), np.asarray(batch["depth"], np.float32)
         )

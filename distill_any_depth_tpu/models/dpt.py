@@ -286,6 +286,10 @@ class DPTHead(nn.Module):
     # stop-gradient teacher forwards). Parameter structure is identical to
     # the packed path; unsupported shapes fall back automatically.
     fused_tail: bool = False
+    # Tail formulation: "packed" (phase-packed GEMMs, default) or "spatial"
+    # (plain resize + NHWC convs) — measurement/verification knob; identical
+    # math either way.
+    tail_impl: str = "packed"
 
     @nn.compact
     def __call__(
@@ -364,7 +368,7 @@ class DPTHead(nn.Module):
         # (refinenet1's own 2x upsample target is even by construction;
         # only the final patch-grid target can be odd, and never is for
         # patch 14)
-        packed = oh % 2 == 0 and ow % 2 == 0
+        packed = oh % 2 == 0 and ow % 2 == 0 and self.tail_impl != "spatial"
         path = FeatureFusionBlock(self.features, self.dtype, packed_output=packed,
                                   name="refinenet1")(path, rn[0])
 
@@ -410,6 +414,8 @@ class DepthModel(nn.Module):
     quant: str = "none"
     # Fused Pallas DPT-head tail; forward-only (see DPTHead.fused_tail).
     fused_tail: bool = False
+    # "packed" | "spatial" tail formulation (see DPTHead.tail_impl).
+    tail_impl: str = "packed"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pe_step: jnp.ndarray | None = None):
@@ -436,6 +442,7 @@ class DepthModel(nn.Module):
             patch_size=p,
             dtype=self.dtype,
             fused_tail=self.fused_tail,
+            tail_impl=self.tail_impl,
             name="depth_head",
         )(taps, gh, gw, cls_tokens)
 

@@ -56,18 +56,23 @@ def test_registry_covers_reference_yamls():
         get_spec("bogus")
 
 
-def test_kitti_kb_crop_and_eigen_mask(tmp_path):
+def _kb_crop(data_dir, i=0):
+    raw = cv2.imread(os.path.join(data_dir, f"depth_{i}.png"),
+                     cv2.IMREAD_UNCHANGED).astype(np.float32) / 256.0
+    return raw[375 - 352 :, (1242 - 1216) // 2 : (1242 - 1216) // 2 + 1216]
+
+
+def test_kitti_kb_crop_and_eigen_mask_square(tmp_path):
     data_dir = _kitti_layout(tmp_path)
-    ds = FileListDataset("kitti", data_dir, image_size=56)
+    ds = FileListDataset("kitti", data_dir, image_size=56,
+                         native_resolution=False)
     assert len(ds) == 2
     s = ds[0]
     assert s.image.shape == (56, 56, 3) and s.depth.shape == (56, 56)
     assert s.image.dtype == np.float32
 
     # mask policy at native (post-KB-crop) resolution: rebuild by hand
-    raw = cv2.imread(os.path.join(data_dir, "depth_0.png"),
-                     cv2.IMREAD_UNCHANGED).astype(np.float32) / 256.0
-    kb = raw[375 - 352 :, (1242 - 1216) // 2 : (1242 - 1216) // 2 + 1216]
+    kb = _kb_crop(data_dir)
     t, b = int(0.3324324 * 352), int(0.91351351 * 352)
     l, r = int(0.0359477 * 1216), int(0.96405229 * 1216)
     expect = np.zeros_like(kb)
@@ -77,6 +82,50 @@ def test_kitti_kb_crop_and_eigen_mask(tmp_path):
     np.testing.assert_array_equal(ds[0].depth, got)
     # the crop really zeroes something: raw has gt outside the eigen window
     assert (kb > 0).sum() > (expect > 0).sum()
+
+
+def test_kitti_native_resolution_default(tmp_path):
+    """Native-res protocol (the default for KITTI): GT untouched at the KB
+    crop 352x1216, image keep-aspect lower_bound resized to a multiple of
+    14 — exact geometry asserted (VERDICT r4 #4)."""
+    data_dir = _kitti_layout(tmp_path)
+    ds = FileListDataset("kitti", data_dir, image_size=56)
+    assert ds.native_resolution
+    s = ds[0]
+    # image: 352x1216 -> scale max(56/352, 56/1216) -> h=56, w=round(
+    # 1216*56/352 / 14)*14 = round(193.45/14)*14 = 196
+    assert s.image.shape == (56, 196, 3)
+    # GT: native KB-crop resolution, eigen-masked, NOT resized
+    assert s.depth.shape == (352, 1216)
+    kb = _kb_crop(data_dir)
+    t, b = int(0.3324324 * 352), int(0.91351351 * 352)
+    l, r = int(0.0359477 * 1216), int(0.96405229 * 1216)
+    expect = np.zeros_like(kb)
+    expect[t:b, l:r] = kb[t:b, l:r]
+    expect[(expect <= 1e-5) | (expect >= 80.0)] = 0.0
+    np.testing.assert_array_equal(s.depth, expect)
+
+
+def test_kitti_garg_and_no_crop(tmp_path):
+    """The garg crop constant is reachable via valid_mask_crop='garg'."""
+    data_dir = _kitti_layout(tmp_path)
+    garg = FileListDataset("kitti", data_dir, image_size=56,
+                           valid_mask_crop="garg")[0].depth
+    nocrop = FileListDataset("kitti", data_dir, image_size=56,
+                             valid_mask_crop=None)[0].depth
+    t, b = int(0.40810811 * 352), int(0.99189189 * 352)
+    l, r = int(0.03594771 * 1216), int(0.96405229 * 1216)
+    kb = _kb_crop(data_dir)
+    expect = np.zeros_like(kb)
+    expect[t:b, l:r] = kb[t:b, l:r]
+    expect[(expect <= 1e-5) | (expect >= 80.0)] = 0.0
+    np.testing.assert_array_equal(garg, expect)
+    # garg window is strictly smaller than no-crop; both are exact
+    assert (nocrop > 0).sum() > (garg > 0).sum()
+    outside = np.ones_like(kb, bool)
+    outside[t:b, l:r] = False
+    assert (garg[outside] == 0).all()
+    assert (nocrop[outside] > 0).any()
 
 
 def test_eth3d_raw_f32_and_pfm_and_diode_npy(tmp_path):
@@ -140,5 +189,7 @@ def test_batches_iterate_over_registry_dataset(tmp_path):
     ds = FileListDataset("kitti", data_dir, image_size=28)
     batches = list(iterate_batches(ds, 2, shuffle=False, prefetch=0))
     assert len(batches) == 1  # drop_remainder
-    assert batches[0]["image"].shape == (2, 28, 28, 3)
-    assert batches[0]["depth"].shape == (2, 28, 28)
+    # native protocol: keep-aspect image (28 x round(96.7/14)*14 = 98),
+    # GT batched at the fixed KB-crop resolution
+    assert batches[0]["image"].shape == (2, 28, 98, 3)
+    assert batches[0]["depth"].shape == (2, 352, 1216)
