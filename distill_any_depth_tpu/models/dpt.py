@@ -345,7 +345,9 @@ class DPTHead(nn.Module):
         oh, ow = gh * self.patch_size, gw * self.patch_size
         if self.fused_tail:
             from distill_any_depth_tpu.ops.dpt_tail import (
-                fused_dpt_tail, fused_tail_supported)
+                fused_dpt_tail_v2 as fused_dpt_tail,
+                fused_tail_supported_v2 as fused_tail_supported,
+            )
             ht, wt = rn[0].shape[1], rn[0].shape[2]
             if fused_tail_supported(ht, wt, self.features, oh, ow,
                                     self.features // 2, 32,

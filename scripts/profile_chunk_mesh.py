@@ -1,0 +1,127 @@
+"""Teacher chunking under a dp mesh: compose or disable? (VERDICT r4 #5)
+
+``chunked_apply`` is disabled when a mesh is present (train/step.py) on the
+assumption that the per-device batch is already batch/dp and the lax.map
+reshape would cross shard boundaries. This measures the three candidate
+structures on a dp mesh so the policy is a number, not an assumption:
+
+  plain         — one bs-B teacher forward, batch sharded over 'data'
+  outer-chunk   — naive [B] -> [B/c, c] lax.map with the OUTER axis
+                  inheriting the 'data' sharding (what chunked_apply would
+                  do if blindly enabled): the scan serializes the shards
+  composed      — [B] -> [B/c, c] with a sharding constraint pinning the
+                  INNER axis to 'data', so each map step runs a c/dp
+                  per-device chunk (per-device chunk = chunk/dp)
+
+Run on the virtual CPU mesh (structure check: does outer-chunk serialize?)
+and on the TPU chip at dp=1 (absolute numbers; there is one real chip):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/profile_chunk_mesh.py --dp 2 --size 112 --arch \
+        depthanything-small --batch 16 --chunk 8
+    python scripts/profile_chunk_mesh.py --dp 1   # real chip
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = 3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dp", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--size", type=int, default=392)
+    ap.add_argument("--arch", default="depthanything-large")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon plugin wins platform selection unless forced via config
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from distill_any_depth_tpu.models.factory import create_model, init_params
+    from distill_any_depth_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=args.dp)
+    data = NamedSharding(mesh, P("data"))
+    B, c, S = args.batch, args.chunk, args.size
+
+    teacher = create_model(args.arch, dtype=jnp.bfloat16)
+    tp = init_params(teacher, 1, image_size=S)
+    tp = jax.device_put(tp, NamedSharding(mesh, P()))
+    rng = np.random.RandomState(0)
+    x = jax.device_put(
+        jnp.asarray(rng.rand(B, S, S, 3), jnp.float32), data)
+
+    def fwd(pr, xx):
+        return teacher.apply({"params": pr}, xx.astype(jnp.bfloat16))[0]
+
+    def plain(pr, xx):
+        return fwd(pr, xx)
+
+    def outer_chunk(pr, xx):
+        xs = xx.reshape(B // c, c, S, S, 3)
+        ds = jax.lax.map(lambda a: fwd(pr, a), xs)
+        return ds.reshape(B, *ds.shape[2:])
+
+    def composed(pr, xx):
+        xs = xx.reshape(B // c, c, S, S, 3)
+        xs = jax.lax.with_sharding_constraint(
+            xs, NamedSharding(mesh, P(None, "data")))
+        ds = jax.lax.map(lambda a: fwd(pr, a), xs)
+        return ds.reshape(B, *ds.shape[2:])
+
+    try:
+        from bench import _rtt as measure_rtt
+        rtt = measure_rtt()
+    except Exception:
+        rtt = 0.0
+
+    def timed(f, label):
+        @jax.jit
+        def chain(pr, x0):
+            def body(carry, _):
+                d = f(pr, carry)
+                return carry + (d[..., None] * 1e-12).astype(carry.dtype), ()
+
+            cr, _ = jax.lax.scan(body, x0, None, length=ITERS)
+            return jnp.sum(cr.astype(jnp.float32).ravel()[:1])
+
+        t0 = time.perf_counter()
+        try:
+            float(chain(tp, x))
+        except Exception as e:
+            print(f"{label:12s}: FAIL ({type(e).__name__}: {str(e)[:80]})",
+                  flush=True)
+            return
+        print(f"  ({label} compiled in {time.perf_counter() - t0:.0f}s)",
+              flush=True)
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(chain(tp, x))
+            ts.append(max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS)
+        print(f"{label:12s}: {min(ts) * 1e3:8.1f} ms", flush=True)
+
+    print(f"mesh dp={args.dp} {args.arch} bs{B} {S}^2 chunk={c}", flush=True)
+    timed(plain, "plain")
+    timed(outer_chunk, "outer-chunk")
+    timed(composed, "composed")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,9 @@ import pytest
 
 from distill_any_depth_tpu.ops.dpt_tail import (
     fused_dpt_tail,
+    fused_dpt_tail_v2,
     fused_tail_supported,
+    fused_tail_supported_v2,
     tail_reference,
 )
 
@@ -49,6 +51,41 @@ def test_kernel_matches_spatial_chain(ht, wt, ci, cm, oh, ow, trailing):
                          dtype=jnp.float32, **p)
     got = fused_dpt_tail(t, (oh, ow), trailing_relu=trailing,
                          interpret=True, **p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize(
+    "ht,wt,ci,cm,oh,ow,trailing",
+    [
+        (8, 8, 128, 64, 28, 28, True),
+        (16, 12, 128, 64, 56, 42, False),  # non-square, teacher-style tail
+        (14, 14, 256, 128, 98, 98, True),  # ViT-L channel widths
+        (16, 16, 128, 64, 56, 56, True),   # oh % ty == 0 divisor path
+    ],
+)
+def test_v2_kernel_matches_spatial_chain(ht, wt, ci, cm, oh, ow, trailing):
+    rng = np.random.RandomState(0)
+    p = _params(rng, ci, cm)
+    t = jnp.asarray(rng.randn(2, ht, wt, ci) * 0.5, jnp.float32)
+    assert fused_tail_supported_v2(ht, wt, ci, oh, ow, cm, 32, 1, 4)
+    ref = tail_reference(t, (oh, ow), trailing_relu=trailing,
+                         dtype=jnp.float32, **p)
+    got = fused_dpt_tail_v2(t, (oh, ow), trailing_relu=trailing,
+                            interpret=True, **p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-6)
+
+
+def test_v2_forced_tile_matches_auto():
+    """Masked final tile (oh % ty != 0) must still be exact."""
+    rng = np.random.RandomState(3)
+    p = _params(rng, 128, 64)
+    t = jnp.asarray(rng.randn(1, 10, 10, 128) * 0.5, jnp.float32)
+    ref = tail_reference(t, (70, 70), trailing_relu=True,
+                         dtype=jnp.float32, **p)
+    got = fused_dpt_tail_v2(t, (70, 70), trailing_relu=True,
+                            interpret=True, force_ty=16, **p)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=5e-6)
 
