@@ -112,9 +112,12 @@ def bench_train(rtt: float, teacher_quant: str = "none") -> None:
     from distill_any_depth_tpu.train.state import create_train_state
     from distill_any_depth_tpu.train.step import make_train_step
 
+    from distill_any_depth_tpu.models.factory import resolve_fused_tail
+
     student = create_model("depthanything-base", dtype=jnp.bfloat16)
     teacher = create_model("depthanything-large", dtype=jnp.bfloat16,
-                           quant=teacher_quant)
+                           quant=teacher_quant,
+                           fused_tail=resolve_fused_tail("auto"))
     sp = init_params(student, 0, image_size=SIZE)
     tp = init_params(teacher, 1, image_size=SIZE)
     state, tx = create_train_state(
@@ -171,7 +174,10 @@ def bench_pseudo_label(rtt: float) -> None:
 
     from distill_any_depth_tpu.models.factory import create_model, init_params
 
-    model = create_model("depthanything-large", dtype=jnp.bfloat16)
+    from distill_any_depth_tpu.models.factory import resolve_fused_tail
+
+    model = create_model("depthanything-large", dtype=jnp.bfloat16,
+                         fused_tail=resolve_fused_tail("auto"))
     params = init_params(model, 2, image_size=518)
 
     @jax.jit
@@ -217,12 +223,19 @@ def main() -> None:
         bench_train(rtt, teacher_quant="int8")
     bench_pseudo_label(rtt)
 
-    model = create_model("depthanything-base", dtype=jnp.bfloat16)
-    params = init_params(model, 0, image_size=SIZE)
+    from distill_any_depth_tpu.models.factory import resolve_fused_tail
+
+    # The timed model runs the fused Pallas DPT-tail (inference default);
+    # the packed-tail twin computes the analytic FLOPs (identical math —
+    # XLA cost analysis cannot see inside a custom call).
+    model = create_model("depthanything-base", dtype=jnp.bfloat16,
+                         fused_tail=resolve_fused_tail("auto"))
+    model_packed = create_model("depthanything-base", dtype=jnp.bfloat16)
+    params = init_params(model_packed, 0, image_size=SIZE)
 
     @jax.jit
     def forward(p, x):
-        depth, feat = model.apply({"params": p}, x)
+        depth, feat = model_packed.apply({"params": p}, x)
         return depth.astype(jnp.float32)
 
     # The TPU is reached through a network tunnel here, so per-iteration

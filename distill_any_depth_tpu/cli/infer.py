@@ -49,7 +49,7 @@ def argument_parser() -> argparse.ArgumentParser:
                         "int8_pallas: fused-quant Pallas kernel — measured "
                         "SLOWER end-to-end (0.81x, kept as the documented "
                         "counter-example, docs/DESIGN.md)")
-    p.add_argument("--fused_tail", default="off", choices=["auto", "on", "off"],
+    p.add_argument("--fused_tail", default="auto", choices=["auto", "on", "off"],
                    help="run the DPT-head tail as one Pallas kernel "
                         "(ops/dpt_tail; forward-only). auto = on for TPU "
                         "backends, off elsewhere")

@@ -30,7 +30,7 @@ def argument_parser() -> argparse.ArgumentParser:
                         "int8_pallas: fused-quant Pallas kernel — measured "
                         "SLOWER end-to-end (0.81x, kept as the documented "
                         "counter-example, docs/DESIGN.md)")
-    p.add_argument("--fused_tail", default="off", choices=["auto", "on", "off"],
+    p.add_argument("--fused_tail", default="auto", choices=["auto", "on", "off"],
                    help="fused Pallas DPT-head tail (ops/dpt_tail); "
                         "auto = on for TPU backends")
     p.add_argument("--save_png16", action="store_true",

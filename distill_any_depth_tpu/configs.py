@@ -244,10 +244,12 @@ class TrainConfig:
     # (stop_gradient), so this trades a bounded pseudo-label perturbation
     # for a faster step. Students always train unquantized.
     teacher_quant: str = "none"
-    # fused Pallas DPT-head tail on teacher forwards (ops/dpt_tail) — valid
-    # because teachers sit under stop_gradient (the kernel is forward-only).
-    # "auto": on for TPU backends, off elsewhere; "on"/"off" force it.
-    teacher_fused_tail: str = "off"
+    # fused Pallas DPT-head tail on teacher forwards (ops/dpt_tail v2) —
+    # valid because teachers sit under stop_gradient (the kernel is
+    # forward-only). "auto" (default): on for TPU backends, off elsewhere;
+    # "on"/"off" force it. Measured v5e 392^2: full ViT-B fwd 13.50 vs
+    # 14.73 ms packed (bs8), 27.23 vs 31.75 (bs16).
+    teacher_fused_tail: str = "auto"
     # run teacher forwards as sequential lax.map chunks of this batch size
     # (0 = off). bs16's full-res DPT-tail intermediates thrash HBM; 2x bs8
     # chunks measured 95.8 -> 86.3 ms on the ViT-L 392^2 teacher (v5e,

@@ -40,6 +40,11 @@ logger = logging.getLogger("distill_any_depth_tpu.train")
 
 __all__ = ["Trainer", "train_nyu", "train_images"]
 
+# Below this input size the windowed ViT-B teacher is strictly slower than a
+# plain teacher (dense window-bias regime; measured crossover between 392
+# and 518 px — docs/DESIGN.md windowed-teacher table).
+WINDOWED_TEACHER_MIN_SIZE = 518
+
 
 class Trainer:
     """Builds models + jitted step from a TrainConfig and runs epochs."""
@@ -64,6 +69,24 @@ class Trainer:
         self.teacher_params = []
         for i, name in enumerate(cfg.teachers):
             tcfg = model_config(name)
+            if (tcfg.encoder.window_size is not None
+                    and cfg.image_size < WINDOWED_TEACHER_MIN_SIZE):
+                # Measured crossover (v5e, docs/DESIGN.md round-5 table):
+                # below ~518px the windowed ViT-B's dense window-bias
+                # attention costs more than a PLAIN teacher — the full
+                # distill step is 238.7 ms with the windowed teacher at
+                # bs16 392^2 vs 205 ms with ViT-L. The windowed variant
+                # exists for high resolution (>=518px: 45.3 vs 98.9
+                # ms/batch8 teacher forward); don't let the slow config be
+                # picked silently.
+                logger.warning(
+                    "teacher %s: windowed attention LOSES below %dpx "
+                    "(image_size=%d): measured 238.7 ms/step vs 205 ms with "
+                    "a plain ViT-L teacher at 392px. Use it at >=%dpx, or "
+                    "prefer 'depthanything-large' here.",
+                    name, WINDOWED_TEACHER_MIN_SIZE, cfg.image_size,
+                    WINDOWED_TEACHER_MIN_SIZE,
+                )
             model = create_model(tcfg, dtype=teacher_dtype, attn_impl=cfg.attn_impl,
                                  quant=cfg.teacher_quant,
                                  fused_tail=resolve_fused_tail(

@@ -25,6 +25,29 @@ from distill_any_depth_tpu.train.state import (
 from distill_any_depth_tpu.train.step import make_eval_loss_fn, make_train_step
 from distill_any_depth_tpu.utils import checkpoint as ckpt_io
 
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _caplog_at(level, logger_name):
+    """Collect log messages from one logger (message strings)."""
+    import logging
+
+    records = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = _H(level=level)
+    lg = logging.getLogger(logger_name)
+    lg.addHandler(h)
+    try:
+        yield records
+    finally:
+        lg.removeHandler(h)
+
 pytestmark = pytest.mark.slow
 
 
@@ -180,7 +203,13 @@ def test_trainer_with_real_windowed_teacher(tmp_path):
         checkpoint_interval=0, log_interval=1, visualize_interval=0,
         output_dir=str(tmp_path), teacher_chunk=0,
     )
-    trainer = Trainer(cfg)
+    import logging
+
+    with _caplog_at(logging.WARNING, "distill_any_depth_tpu.train") as rec:
+        trainer = Trainer(cfg)
+    # crossover policy (VERDICT r4 #6): a windowed teacher below the
+    # measured 518px crossover must warn, not be silently slower
+    assert any("windowed attention LOSES" in m for m in rec), rec
     p0 = jax.tree_util.tree_map(np.array, trainer.state.params)
 
     def batches(epoch):
