@@ -203,6 +203,22 @@ def bench_pseudo_label(rtt: float) -> None:
     )
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: the bench is compile-dominated (two
+    train-step compiles run minutes each through the tunnel); a warm cache
+    makes repeat runs measure the chip, not the compiler. Keyed on compiler
+    version + flags, so safe across upgrades."""
+    import os
+
+    import jax
+
+    cache = os.environ.get("DAD_BENCH_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/dad_xla_bench_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main() -> None:
     import argparse
 
@@ -211,6 +227,7 @@ def main() -> None:
 
     from distill_any_depth_tpu.models.factory import create_model, init_params
 
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip_int8", action="store_true",
                     help="skip the int8-teacher distill-step metric "

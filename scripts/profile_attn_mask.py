@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-ITERS = 40
+ITERS = 400  # 40 iters x ~175 us = 7 ms drowned in ~25 ms tunnel-RTT noise
 REPS = 5
 B, H, N, NV, D = 8, 12, 792, 785, 64
 
@@ -75,11 +75,11 @@ def main() -> None:
             outs.append((o / denom).astype(q2.dtype))
         o_ref[0] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
 
-    def packed_fwd(qkv, mask_mode, exp_bf16):
+    def packed_fwd(qkv, mask_mode, exp_bf16, lanes=None):
         b, n, c3 = qkv.shape
         c = c3 // 3
         d = D
-        lanes = fa._packed_lanes(b, c, 128)
+        lanes = lanes or fa._packed_lanes(b, c, 128)
         hd = lanes // d
         groups = c // lanes
         n_pad = fa._round_up(n, 8)
@@ -144,10 +144,16 @@ def main() -> None:
             ts.append((time.perf_counter() - t1 - rtt) / ITERS)
         print(f"{label:16s}: {min(ts) * 1e6:8.1f} us", flush=True)
 
-    timed(lambda x: packed_fwd(x, "where", False), "where (current)", True)
+    timed(lambda x: packed_fwd(x, "where", False), "where (old)", True)
     timed(lambda x: packed_fwd(x, "kzero", False), "kzero", True)
     timed(lambda x: packed_fwd(x, "where", True), "expbf16", True)
     timed(lambda x: packed_fwd(x, "kzero", True), "kzero+expbf16", True)
+    # wider head groups: same total kv DMA volume (b*2*n*C regardless of
+    # lanes) but half/third the grid programs -> less per-program overhead
+    timed(lambda x: packed_fwd(x, "kzero", False, lanes=256),
+          "kzero lanes=256", True)
+    timed(lambda x: packed_fwd(x, "kzero", False, lanes=384),
+          "kzero lanes=384", True)
     timed(lambda x: fa._packed_fwd_impl(x, H, False, NV), "module impl", True)
 
 

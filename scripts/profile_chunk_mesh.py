@@ -20,6 +20,13 @@ and on the TPU chip at dp=1 (absolute numbers; there is one real chip):
         python scripts/profile_chunk_mesh.py --dp 2 --size 112 --arch \
         depthanything-small --batch 16 --chunk 8
     python scripts/profile_chunk_mesh.py --dp 1   # real chip
+
+``--per-device`` measures the dp=2 PER-DEVICE workload on the one real
+chip without needing two chips: under the composed structure each device
+runs lax.map over B/(c) steps of a (c/dp)-image forward, weights
+replicated. For B=16 c=8 dp=2 that is bs8 plain vs 2 x bs4 chunks.
+
+    python scripts/profile_chunk_mesh.py --per-device --batch 8 --chunk 4
 """
 from __future__ import annotations
 
@@ -43,6 +50,9 @@ def main():
     ap.add_argument("--size", type=int, default=392)
     ap.add_argument("--arch", default="depthanything-large")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--per-device", action="store_true",
+                    help="single-chip dp=2 per-device view: plain bs-B vs "
+                         "lax.map over B/chunk steps of chunk-image forwards")
     args = ap.parse_args()
 
     import jax
@@ -56,19 +66,23 @@ def main():
     from distill_any_depth_tpu.models.factory import create_model, init_params
     from distill_any_depth_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(dp=args.dp)
-    data = NamedSharding(mesh, P("data"))
     B, c, S = args.batch, args.chunk, args.size
-
     teacher = create_model(args.arch, dtype=jnp.bfloat16)
     tp = init_params(teacher, 1, image_size=S)
-    tp = jax.device_put(tp, NamedSharding(mesh, P()))
     rng = np.random.RandomState(0)
-    x = jax.device_put(
-        jnp.asarray(rng.rand(B, S, S, 3), jnp.float32), data)
 
     def fwd(pr, xx):
         return teacher.apply({"params": pr}, xx.astype(jnp.bfloat16))[0]
+
+    if args.per_device:
+        _per_device(args, jnp, teacher, tp, fwd, rng)
+        return
+
+    mesh = make_mesh(dp=args.dp)
+    data = NamedSharding(mesh, P("data"))
+    tp = jax.device_put(tp, NamedSharding(mesh, P()))
+    x = jax.device_put(
+        jnp.asarray(rng.rand(B, S, S, 3), jnp.float32), data)
 
     def plain(pr, xx):
         return fwd(pr, xx)
@@ -121,6 +135,49 @@ def main():
     timed(plain, "plain")
     timed(outer_chunk, "outer-chunk")
     timed(composed, "composed")
+
+
+def _per_device(args, jnp, teacher, tp, fwd, rng):
+    import jax
+    import time as _t
+
+    B, c, S = args.batch, args.chunk, args.size
+    x = jnp.asarray(rng.rand(B, S, S, 3), jnp.float32)
+    try:
+        from bench import _rtt as measure_rtt
+        rtt = measure_rtt()
+    except Exception:
+        rtt = 0.0
+
+    def plain(pr, xx):
+        return fwd(pr, xx)
+
+    def chunked(pr, xx):
+        xs = xx.reshape(B // c, c, S, S, 3)
+        ds = jax.lax.map(lambda a: fwd(pr, a), xs)
+        return ds.reshape(B, *ds.shape[2:])
+
+    def timed(f, label):
+        @jax.jit
+        def chain(pr, x0):
+            def body(carry, _):
+                d = f(pr, carry)
+                return carry + (d[..., None] * 1e-12).astype(carry.dtype), ()
+
+            cr, _ = jax.lax.scan(body, x0, None, length=ITERS)
+            return jnp.sum(cr.astype(jnp.float32).ravel()[:1])
+
+        float(chain(tp, x))
+        ts = []
+        for _ in range(args.reps):
+            t0 = _t.perf_counter()
+            float(chain(tp, x))
+            ts.append(max(_t.perf_counter() - t0 - rtt, 1e-9) / ITERS)
+        print(f"{label:28s}: {min(ts) * 1e3:8.1f} ms", flush=True)
+
+    print(f"per-device view {args.arch} bs{B} {S}^2 chunk={c}", flush=True)
+    timed(plain, f"plain bs{B}")
+    timed(chunked, f"{B // c} x bs{c} chunks")
 
 
 if __name__ == "__main__":
