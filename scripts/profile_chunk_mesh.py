@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--size", type=int, default=392)
     ap.add_argument("--arch", default="depthanything-large")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-fused-tail", action="store_true",
+                    help="packed-tail teacher (the pre-round-5 regime the "
+                         "95.8->86.3 ms chunk win was measured in)")
     ap.add_argument("--per-device", action="store_true",
                     help="single-chip dp=2 per-device view: plain bs-B vs "
                          "lax.map over B/chunk steps of chunk-image forwards")
@@ -67,7 +70,10 @@ def main():
     from distill_any_depth_tpu.parallel.mesh import make_mesh
 
     B, c, S = args.batch, args.chunk, args.size
-    teacher = create_model(args.arch, dtype=jnp.bfloat16)
+    from distill_any_depth_tpu.models.factory import resolve_fused_tail
+    teacher = create_model(
+        args.arch, dtype=jnp.bfloat16,
+        fused_tail=resolve_fused_tail("off" if args.no_fused_tail else "auto"))
     tp = init_params(teacher, 1, image_size=S)
     rng = np.random.RandomState(0)
 

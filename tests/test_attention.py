@@ -310,6 +310,36 @@ def test_mha_flash_packed_n_valid_masks_pad_rows():
     assert float(jnp.abs(gp[:, n:]).max()) == 0.0
 
 
+def test_mha_flash_packed_n_valid_pad_score_is_max():
+    """Adversarial case for the kzero pad handling: zeroed pad keys give pad
+    scores of exactly 0, so when every REAL score in a row is negative the
+    softmax max m comes from a PAD column. The closed-form denominator
+    correction (denom - n_pad*exp(-m)) must stay exact there, not just when
+    real scores dominate. Construct q = -k/|k|^2-ish so all real dots are
+    negative."""
+    from distill_any_depth_tpu.ops.flash_attention import mha_flash_packed
+
+    b, n, h, d = 1, 12, 4, 32
+    n8 = 16
+    rng = np.random.RandomState(11)
+    # strictly positive keys, strictly negative queries: every real dot is
+    # negative in every head, so m == 0 comes from the zeroed pad columns
+    k = 0.5 + rng.rand(n, h * d)
+    q = -(0.5 + rng.rand(n, h * d))
+    v = rng.randn(n, h * d)
+    qkv = jnp.asarray(np.concatenate([q, k, v], -1)[None], jnp.float32)
+    scores = (q.reshape(n, h, d).transpose(1, 0, 2)
+              @ k.reshape(n, h, d).transpose(1, 2, 0)) / np.sqrt(d)
+    assert scores.max() < 0, "construction failed: need all-negative scores"
+
+    garbage = jnp.asarray(50.0 * rng.randn(1, n8 - n, 3 * h * d), jnp.float32)
+    qkv_p = jnp.concatenate([qkv, garbage], axis=1)
+    ref = mha_flash_packed(qkv, h, interpret=True)
+    out = mha_flash_packed(qkv_p, h, interpret=True, n_valid=n)
+    np.testing.assert_allclose(np.asarray(out[:, :n]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_packed_dispatch_n_valid_fallback_slices():
     """The einsum fallback of multi_head_attention_packed slices off the pad
     rows and zero-pads the output back."""
