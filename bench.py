@@ -43,7 +43,7 @@ TRAIN_REPEATS = 5
 PSEUDO_BATCH = 8
 PSEUDO_ITERS = 8
 PSEUDO_REPEATS = 5
-INFER_REPEATS = 7
+INFER_REPEATS = 12  # per window; the headline is min over TWO windows
 
 
 def _rtt() -> float:
@@ -76,6 +76,46 @@ def _measure(run_once, repeats: int, rtt: float, per: int) -> tuple[float, float
         times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / per)
     lo, hi = float(np.min(times)), float(np.max(times))
     return lo, 100.0 * (hi - lo) / lo
+
+
+def _measure_diff(run_short, run_long, repeats: int, per: int,
+                  rtt: float) -> tuple[float, float]:
+    """Differential timing: interleave chains doing ``per`` and ``2*per``
+    units; (min long - min short) / per cancels the dispatch+fetch
+    overhead exactly — immune to the tunnel RTT drifting after the one-time
+    calibration. Falls back to rtt-subtracted long-chain timing if the
+    difference degenerates (pathological congestion during the short set).
+    Returns (per-unit seconds, spread_pct over the long-chain repeats)."""
+    ts, tl = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_short()
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_long()
+        tl.append(time.perf_counter() - t0)
+    lo = (float(np.min(tl)) - float(np.min(ts))) / per
+    if lo <= 0:
+        lo = max(float(np.min(tl)) - rtt, 1e-9) / (2 * per)
+    spread = 100.0 * (float(np.max(tl)) - float(np.min(tl))) / float(np.min(tl))
+    return lo, spread
+
+
+def _guard(label: str, fn, attempts: int = 2):
+    """Run one bench section, retrying once on transient failures (the
+    remote-compile tunnel occasionally drops mid-body: 'response body
+    closed before all bytes were read'). A dead section must cost its own
+    metric line only — never the headline that follows it."""
+    import sys
+
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — tunnel errors vary by type
+            sys.stderr.write(
+                f"bench: {label} attempt {i + 1}/{attempts} failed: "
+                f"{type(e).__name__}: {str(e)[:200]}\n")
+    return None
 
 
 def _emit(metric: str, value: float, unit: str, vs_baseline, spread_pct: float | None) -> None:
@@ -235,10 +275,6 @@ def main() -> None:
     args = ap.parse_args()
 
     rtt = _rtt()
-    bench_train(rtt)
-    if not args.skip_int8:
-        bench_train(rtt, teacher_quant="int8")
-    bench_pseudo_label(rtt)
 
     from distill_any_depth_tpu.models.factory import resolve_fused_tail
 
@@ -261,29 +297,72 @@ def main() -> None:
     # this remote backend). Chain ITERS forwards on-device with lax.scan
     # (each iteration's input depends on the previous output, so nothing can
     # be elided or overlapped), return a scalar, and force a value fetch.
-    @jax.jit
-    def forward_chain(p, x):
-        def body(carry, _):
-            depth, _ = model.apply({"params": p}, carry)
-            # 1e-12-scaled feedback: a true data dependency XLA cannot fold
-            # away (x*0 could be simplified), value change is negligible.
-            carry = carry + (depth[..., None] * 1e-12).astype(carry.dtype)
-            return carry, ()
+    def _chain(length):
+        @jax.jit
+        def forward_chain(p, x):
+            def body(carry, _):
+                depth, _ = model.apply({"params": p}, carry)
+                # 1e-12-scaled feedback: a true data dependency XLA cannot
+                # fold away (x*0 could be simplified), value change is
+                # negligible.
+                carry = carry + (depth[..., None] * 1e-12).astype(carry.dtype)
+                return carry, ()
 
-        carry, _ = jax.lax.scan(body, x, None, length=ITERS)
-        return jnp.sum(carry[0, 0, 0].astype(jnp.float32))
+            carry, _ = jax.lax.scan(body, x, None, length=length)
+            return jnp.sum(carry[0, 0, 0].astype(jnp.float32))
+
+        return forward_chain
+
+    # Differential timing: the one-time RTT calibration goes stale when the
+    # tunnel congests mid-bench (a fetch drifting 25 -> 60 ms on a ~135 ms
+    # chain reads as a 25% slowdown — the 33%-spread capture). Chains of
+    # length N and 2N pay IDENTICAL dispatch+fetch overhead, so
+    # (min t_2N - min t_N) / N measures pure device time, whatever the
+    # tunnel is doing.
+    forward_chain = _chain(ITERS)
+    forward_chain2 = _chain(2 * ITERS)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16)
 
-    # warm up and validate a single forward (full host fetch)
-    out = np.asarray(forward(params, x))
+    # warm up and validate a single forward (full host fetch); retried —
+    # a transient tunnel drop here must not cost the whole bench
+    out = _guard("forward_warmup", lambda: np.asarray(forward(params, x)),
+                 attempts=3)
+    assert out is not None, "forward compile failed 3x; aborting bench"
     assert out.shape == (BATCH, SIZE, SIZE) and np.isfinite(out).all()
 
-    float(forward_chain(params, x))  # compile + warm
-    dt, spread = _measure(
-        lambda: float(forward_chain(params, x)), INFER_REPEATS, rtt, ITERS
+    _guard("chain_warmup", lambda: float(forward_chain(params, x)),
+           attempts=3)  # compile + warm
+    _guard("chain2_warmup", lambda: float(forward_chain2(params, x)),
+           attempts=3)
+
+    # The tunneled chip's delivered rate drifts ~6-10% on a minutes scale
+    # (same binary measured 627.6 then 570.5 img/s in back-to-back bench
+    # runs; an interleaved in-process A/B pinned the code as identical —
+    # scripts/profile_mask_ab.py). One timing window samples one phase, so
+    # the headline is measured in TWO windows separated by the multi-minute
+    # train/pseudo benches, and min-of-both is the estimator of what the
+    # hardware + this code can do.
+    dt1, spread1 = _measure_diff(
+        lambda: float(forward_chain(params, x)),
+        lambda: float(forward_chain2(params, x)), INFER_REPEATS, ITERS, rtt
     )
+
+    _guard("train_bf16", lambda: bench_train(rtt))
+    if not args.skip_int8:
+        _guard("train_int8", lambda: bench_train(rtt, teacher_quant="int8"))
+    _guard("pseudo_label", lambda: bench_pseudo_label(rtt))
+
+    w2 = _guard("forward_window2", lambda: _measure_diff(
+        lambda: float(forward_chain(params, x)),
+        lambda: float(forward_chain2(params, x)), INFER_REPEATS, ITERS, rtt
+    ))
+    dt2, spread2 = w2 if w2 is not None else (dt1, spread1)
+    dt = min(dt1, dt2)
+    # spread across BOTH windows: the honest dispersion of the recorded min
+    hi = max(dt1 * (1 + spread1 / 100), dt2 * (1 + spread2 / 100))
+    spread = 100.0 * (hi - dt) / dt
 
     # Analytic FLOPs from the compiled single forward (exact, tunnel-immune)
     # + the MFU it implies at the measured per-iter time. VERDICT r4 #2:

@@ -252,9 +252,11 @@ class TrainConfig:
     teacher_fused_tail: str = "auto"
     # run teacher forwards as sequential lax.map chunks of this batch size
     # (0 = off). bs16's full-res DPT-tail intermediates thrash HBM; 2x bs8
-    # chunks measured 95.8 -> 86.3 ms on the ViT-L 392^2 teacher (v5e,
-    # scripts/profile_teacher_chunk.py). Single-device only — ignored under
-    # a dp mesh, where the per-device batch is already batch/dp.
+    # chunks measured 95.8 -> 86.3 ms (r4) / 98.2 -> 95.0 ms (r5) on the
+    # ViT-L 392^2 teacher (v5e, scripts/profile_{teacher_chunk,chunk_mesh}.py).
+    # Single-device only — under a dp mesh it is a measured wash (the dp=2
+    # per-device view bs8 -> 2 x bs4: 42.6 vs 42.8 ms), so the step ignores
+    # it there rather than pay lax.map's serialization risk.
     teacher_chunk: int = 8
     # bf16 student matmuls by default: the loss stack upcasts to fp32
     # (train/step.py), params/optimizer stay fp32; ~1.5x faster steps on

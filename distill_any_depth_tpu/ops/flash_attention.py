@@ -469,8 +469,13 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, hd: int, d: int,
     [nk, lanes] pass shared by all hd heads) instead of an iota+where over
     each head's [qb, nk] f32 scores: pad scores become exactly 0, so each
     pad column contributes exactly exp(-m) to the denominator, subtracted
-    back in closed form. Measured 170.3 vs 178.5 us on the ViT-B block
-    shape (scripts/profile_attn_mask.py); exact, not approximate."""
+    back in closed form — exact, not approximate (edge case where a pad 0
+    is the row max included: tests/test_attention.py pad_score_is_max).
+    Standalone block timing is within noise of the where-mask (~196 us
+    both, scripts/profile_attn_mask.py at 400 chained iters), but the
+    in-context full-model effect is large: bench headline 587.7 -> 627.6
+    img/s, forward MFU 0.59 -> 0.63 (the score-mask's per-head iota+where
+    constants apparently blocked fusion/scheduling around the kernel)."""
     q2 = q_ref[0]  # [qb, hd*d]
     k2 = k_ref[0]  # [nk, hd*d]
     v2 = v_ref[0]

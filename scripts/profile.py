@@ -34,6 +34,7 @@ _HARNESSES = {
     "inference": ("profile_inference", "full forward timings"),
     "int8_gemm": ("profile_int8_gemm", "raw int8 vs bf16 GEMM rates"),
     "loss_stack": ("profile_loss_stack", "distillation loss fwd+bwd"),
+    "mask_ab": ("profile_mask_ab", "interleaved where vs kzero full-model A/B"),
     "mine_cycles": ("mine_hlo_cycles", "rank optimized-HLO estimated cycles"),
     "packed_tail": ("profile_packed_tail", "packed space-to-depth tail"),
     "param_dtype": ("profile_param_dtype", "fp32 vs bf16 param storage"),
