@@ -138,10 +138,20 @@ class Attention(nn.Module):
     # Static count of real token rows when the encoder carries an 8-aligned
     # padded N (DinoViT); keys at or beyond it are masked in-kernel.
     n_valid: int | None = None
+    # When set, ``x`` is the FLAT residual stream [B*N, C] (see DinoViT:
+    # 2D GEMMs pick better TPU emitters than 3D batched dots); attention
+    # re-materializes [B, N, *] only around the kernel call (bitcast-free,
+    # the arrays are contiguous).
+    flat_batch: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
-        b, n, c = x.shape
+        if self.flat_batch:
+            m, c = x.shape
+            b = self.flat_batch
+            n = m // b
+        else:
+            b, n, c = x.shape
         h = self.num_heads
         d = c // h
         if self.lora_rank > 0:
@@ -151,12 +161,16 @@ class Attention(nn.Module):
         else:
             dense = lambda f, name: _dense(f, self.dtype, self.quant, name)  # noqa: E731
         qkv = dense(3 * c, "qkv")(x)
+        if self.flat_batch:
+            qkv = qkv.reshape(b, n, 3 * c)
         # torch packs columns as (q|k|v, head, head_dim) — same ordering
         # here, which is exactly the layout the packed flash path consumes
         # without any relayout (ops/attention.multi_head_attention_packed).
         out = multi_head_attention_packed(qkv, h, bias=bias,
                                           impl=self.attn_impl, band=self.band,
                                           n_valid=self.n_valid)
+        if self.flat_batch:
+            out = out.reshape(b * n, c)
         return dense(c, "proj")(out)
 
 
@@ -176,6 +190,8 @@ class Block(nn.Module):
     gelu: str = "auto"
     quant: str = "none"
     n_valid: int | None = None
+    # Flat residual stream [B*N, C] (see Attention.flat_batch).
+    flat_batch: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -201,7 +217,7 @@ class Block(nn.Module):
         y = Attention(
             self.num_heads, self.dtype, self.attn_impl, self.lora_rank,
             band=self.band, quant=self.quant, n_valid=self.n_valid,
-            name="attn"
+            flat_batch=self.flat_batch, name="attn"
         )(y, bias)
         y = maybe_ssf("ssf_attn", y)
         x = x + layer_scale("ls1_gamma", y)
@@ -391,6 +407,18 @@ class DinoViT(nn.Module):
                 tokens, ((0, 0), (0, -n_valid % 8), (0, 0))
             )
 
+        # Flat residual stream: the block stack runs on [B*N, C] so every
+        # GEMM is a 2D dot — the 3D batched dot+LN-stats fusions lower to
+        # the EmitAllBatchInSublanes emitter (output M-tile of 99 rows),
+        # measured 8.1% slower on the proj shape and 1.5% on fc2
+        # (scripts/profile_flat_gemm.py, v5e). [B, N, *] re-materializes
+        # only around the attention kernel (contiguous reshape, bitcast).
+        # Windowed models keep 3D: their bias/PEG paths are grid-shaped.
+        flat = cfg.window_size is None
+        if flat:
+            n_tok = tokens.shape[1]
+            tokens = tokens.reshape(b * n_tok, cfg.embed_dim)
+
         block = Block
         if self.remat:
             block = nn.remat(Block, static_argnums=())
@@ -424,24 +452,29 @@ class DinoViT(nn.Module):
                 gelu=self.gelu,
                 quant=self.quant,
                 n_valid=n_valid,
+                flat_batch=b if flat else None,
                 name=f"blocks_{i}",
             )(tokens, bias)
             if i in out_set:
                 raw_taps[i] = tokens
+
+        def unflat(t):
+            return t.reshape(b, -1, cfg.embed_dim) if flat else t
 
         norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
         taps, cls_tokens = [], []
         if cfg.final_taps:
             # Windowed-variant contract (ViT_DINO.py:1253-1264): all four
             # "taps" are the same final post-norm token tensor.
-            t = norm(tokens)
+            t = unflat(norm(tokens))
             taps = [t[:, n_prefix:n_valid]] * 4
             cls_tokens = [t[:, 0]] * 4
         else:
             for i in cfg.out_indices:
                 # tap_norm=False: multi_output pre-norm taps
-                # (ViT_DINO_reg.py:1030-1038).
-                t = norm(raw_taps[i]) if cfg.tap_norm else raw_taps[i]
+                # (ViT_DINO_reg.py:1030-1038). norm runs on the flat stream
+                # (2D rows), the [B, N, C] view re-materializes here.
+                t = unflat(norm(raw_taps[i]) if cfg.tap_norm else raw_taps[i])
                 cls_tokens.append(t[:, 0])
                 # n_valid slice drops the 8-alignment pad rows (no-op when
                 # n_valid is None)

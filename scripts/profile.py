@@ -29,6 +29,7 @@ _HARNESSES = {
     "bwd_sweep": ("profile_bwd_sweep", "attention backward variants"),
     "conv_variants": ("profile_conv_variants", "DPT tail conv lowerings"),
     "encoder_pieces": ("profile_encoder_pieces", "encoder stage timings"),
+    "flat_gemm": ("profile_flat_gemm", "3D batched vs 2D flat GEMM+LN emitter"),
     "head": ("profile_head", "DPT head stage timings"),
     "hypotheses": ("profile_hypotheses", "micro A/B experiments"),
     "inference": ("profile_inference", "full forward timings"),
